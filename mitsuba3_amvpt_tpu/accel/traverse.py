@@ -1,0 +1,281 @@
+"""Wavefront ray-scene intersection in JAX.
+
+Device-side counterpart of the reference's accel backends
+(src/render/scene_embree.inl rtcIntersect / scene_optix.inl /
+kdtree.h ray_intersect).  Two strategies, chosen at scene build time:
+
+* ``brute``: all-pairs ray x primitive test, tiled over primitives with
+  ``lax.scan``.  For scenes up to a few thousand primitives this is the
+  right call on TPU — it is pure dense vector math on the VPU with zero
+  divergence, no gathers, and XLA fuses the whole sweep.
+* ``bvh``: lockstep stack-based BVH2 traversal under ``lax.while_loop``
+  (short stack in a (N, DEPTH) register array).  Needed for large
+  scenes where brute force is O(N_rays * N_prims).
+
+Both return a detached PreliminaryIntersection; differentiable
+SurfaceInteraction reconstruction happens in render/scene.py
+(SURVEY.md §A.1 grad re-attachment).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..core import math as m
+from ..render.records import PreliminaryIntersection
+
+STACK_DEPTH = 48
+MAX_LEAF = 4
+
+
+def ray_triangle(o, d, p0, p1, p2, eps=0.0):
+    """Möller-Trumbore. All args broadcastable (..., 3).
+
+    Returns (t, u, v, hit) with t = inf on miss.  Matches the
+    reference's Mesh::ray_intersect_triangle (mesh.h:467).
+    """
+    e1 = p1 - p0
+    e2 = p2 - p0
+    pvec = jnp.cross(d, e2)
+    det = m.dot(e1, pvec)
+    inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvec = o - p0
+    u = m.dot(tvec, pvec) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = m.dot(d, qvec) * inv_det
+    t = m.dot(e2, qvec) * inv_det
+    hit = ((jnp.abs(det) > 1e-12) & (u >= -eps) & (v >= -eps)
+           & (u + v <= 1.0 + eps) & (t > 0.0))
+    return jnp.where(hit, t, jnp.inf), u, v, hit
+
+
+def ray_sphere(o, d, center, radius):
+    """Analytic sphere hit (src/shapes/sphere.cpp); returns nearest
+    positive t (inf on miss)."""
+    L = o - center
+    b = 2.0 * m.dot(d, L)
+    c = m.squared_norm(L) - radius * radius
+    disc = b * b - 4.0 * c
+    sq = m.safe_sqrt(disc)
+    t0 = 0.5 * (-b - sq)
+    t1 = 0.5 * (-b + sq)
+    t = jnp.where(t0 > 0.0, t0, t1)
+    hit = (disc >= 0.0) & (t > 0.0)
+    return jnp.where(hit, t, jnp.inf), hit
+
+
+def ray_aabb(o, inv_d, lo, hi, maxt):
+    """Slab test; returns (tnear, intersects)."""
+    t0 = (lo - o) * inv_d
+    t1 = (hi - o) * inv_d
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < maxt)
+    return tmin, hit
+
+
+# ---------------------------------------------------------------------------
+# Brute-force sweep (scan over primitive tiles)
+# ---------------------------------------------------------------------------
+
+def intersect_brute(geom, o, d, maxt, tile: int = 512):
+    """All-pairs sweep. geom is a GeometryArrays (see render/scene.py).
+
+    Primitive tables are padded to a multiple of `tile` with degenerate
+    prims; a scan walks the tiles carrying the best hit.
+    """
+    tri_p0, tri_p1, tri_p2 = geom.tri_p0, geom.tri_p1, geom.tri_p2
+    F = tri_p0.shape[0]
+    n = o.shape[0]
+
+    best_t = jnp.minimum(jnp.full((n,), jnp.inf), maxt)
+    best = (best_t, jnp.zeros((n, 2)), jnp.full((n,), -1, jnp.int32))
+
+    if F > 0:
+        pad = (-F) % tile
+        p0 = jnp.pad(tri_p0, ((0, pad), (0, 0)))
+        p1 = jnp.pad(tri_p1, ((0, pad), (0, 0)))
+        p2 = jnp.pad(tri_p2, ((0, pad), (0, 0)), constant_values=0.0)
+        valid = jnp.pad(jnp.ones((F,), bool), (0, pad))
+        n_tiles = (F + pad) // tile
+        p0 = p0.reshape(n_tiles, tile, 3)
+        p1 = p1.reshape(n_tiles, tile, 3)
+        p2 = p2.reshape(n_tiles, tile, 3)
+        valid = valid.reshape(n_tiles, tile)
+        tile_ids = jnp.arange(n_tiles)
+
+        def body(carry, xs):
+            bt, buv, bprim = carry
+            q0, q1, q2, val, tid = xs
+            t, u, v, hit = ray_triangle(o[:, None, :], d[:, None, :],
+                                        q0[None], q1[None], q2[None])
+            t = jnp.where(val[None, :], t, jnp.inf)
+            t = jnp.where(t < bt[:, None], t, jnp.inf)
+            k = jnp.argmin(t, axis=1)
+            tk = jnp.take_along_axis(t, k[:, None], 1)[:, 0]
+            upd = jnp.isfinite(tk)
+            uk = jnp.take_along_axis(u, k[:, None], 1)[:, 0]
+            vk = jnp.take_along_axis(v, k[:, None], 1)[:, 0]
+            bt = jnp.where(upd, tk, bt)
+            buv = jnp.where(upd[:, None], jnp.stack([uk, vk], -1), buv)
+            bprim = jnp.where(upd, tid * tile + k, bprim)
+            return (bt, buv, bprim), None
+
+        best, _ = jax.lax.scan(body, best, (p0, p1, p2, valid, tile_ids))
+
+    best_t, best_uv, best_prim = best
+
+    S = geom.sph_center.shape[0]
+    if S > 0:
+        t, hit = ray_sphere(o[:, None, :], d[:, None, :],
+                            geom.sph_center[None], geom.sph_radius[None])
+        t = jnp.where(t < best_t[:, None], t, jnp.inf)
+        k = jnp.argmin(t, axis=1)
+        tk = jnp.take_along_axis(t, k[:, None], 1)[:, 0]
+        upd = jnp.isfinite(tk)
+        best_t = jnp.where(upd, tk, best_t)
+        best_prim = jnp.where(upd, F + k, best_prim)
+        best_uv = jnp.where(upd[:, None], jnp.zeros_like(best_uv), best_uv)
+
+    hit_valid = jnp.isfinite(best_t) & (best_t < maxt)
+    return best_t, best_uv, jnp.where(hit_valid, best_prim, -1)
+
+
+# ---------------------------------------------------------------------------
+# BVH traversal (lockstep while_loop with per-lane stack)
+# ---------------------------------------------------------------------------
+
+def intersect_bvh(geom, o, d, maxt, any_hit: bool = False):
+    """Stack-based BVH2 traversal; returns (t, uv, prim) like brute."""
+    n = o.shape[0]
+    lanes = jnp.arange(n)
+    inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20, jnp.where(d < 0, -1e-20, 1e-20), d)
+
+    bbox = geom.bvh_bbox          # (M, 2, 3)
+    meta = geom.bvh_meta          # (M, 2)
+    prim_ids = geom.bvh_prim_ids  # (P,) leaf order -> global prim id
+    F = geom.tri_p0.shape[0]
+
+    stack0 = jnp.zeros((n, STACK_DEPTH), jnp.int32)
+    sptr0 = jnp.ones((n,), jnp.int32)
+    t0 = jnp.minimum(jnp.full((n,), jnp.inf), maxt)
+    state0 = (stack0, sptr0, t0, jnp.zeros((n, 2)), jnp.full((n,), -1, jnp.int32))
+
+    def cond(state):
+        _, sptr, _, _, _ = state
+        return jnp.any(sptr > 0)
+
+    def cond_any(state):
+        _, sptr, _, _, bprim = state
+        return jnp.any((sptr > 0) & (bprim < 0))
+
+    def body(state):
+        stack, sptr, bt, buv, bprim = state
+        if any_hit:
+            active = (sptr > 0) & (bprim < 0)
+        else:
+            active = sptr > 0
+        top = jnp.maximum(sptr - 1, 0)
+        node = stack[lanes, top]
+        node = jnp.where(active, node, 0)
+        sptr = jnp.where(active, sptr - 1, sptr)
+
+        nb = bbox[node]                        # (n, 2, 3)
+        nm = meta[node]                        # (n, 2)
+        is_leaf = nm[:, 1] > 0
+
+        # --- interior: test children, push near last (popped first)
+        c0 = node + 1
+        c1 = nm[:, 0]
+        b0 = bbox[c0]
+        b1 = bbox[c1]
+        t_near0, h0 = ray_aabb(o, inv_d, b0[:, 0], b0[:, 1], bt)
+        t_near1, h1 = ray_aabb(o, inv_d, b1[:, 0], b1[:, 1], bt)
+        swap = t_near1 < t_near0
+        near = jnp.where(swap, c1, c0)
+        far = jnp.where(swap, c0, c1)
+        h_near = jnp.where(swap, h1, h0)
+        h_far = jnp.where(swap, h0, h1)
+
+        inter = active & ~is_leaf
+        push_far = inter & h_far
+        stack = stack.at[lanes, jnp.minimum(sptr, STACK_DEPTH - 1)].set(
+            jnp.where(push_far, far, stack[lanes, jnp.minimum(sptr, STACK_DEPTH - 1)]))
+        sptr = jnp.where(push_far, sptr + 1, sptr)
+        push_near = inter & h_near
+        stack = stack.at[lanes, jnp.minimum(sptr, STACK_DEPTH - 1)].set(
+            jnp.where(push_near, near, stack[lanes, jnp.minimum(sptr, STACK_DEPTH - 1)]))
+        sptr = jnp.where(push_near, sptr + 1, sptr)
+
+        # --- leaf: up to MAX_LEAF prims
+        first = nm[:, 0]
+        count = nm[:, 1]
+        leaf = active & is_leaf
+        for k in range(MAX_LEAF):
+            pid_slot = jnp.clip(first + k, 0, prim_ids.shape[0] - 1)
+            gp = prim_ids[pid_slot]
+            pvalid = leaf & (k < count)
+            is_tri = gp < F
+            tri = jnp.clip(gp, 0, jnp.maximum(F - 1, 0))
+            if F > 0:
+                tt, u, v, th = ray_triangle(o, d, geom.tri_p0[tri],
+                                            geom.tri_p1[tri], geom.tri_p2[tri])
+            else:
+                tt = jnp.full((n,), jnp.inf); u = v = jnp.zeros((n,)); th = jnp.zeros((n,), bool)
+            if geom.sph_center.shape[0] > 0:
+                sph = jnp.clip(gp - F, 0, geom.sph_center.shape[0] - 1)
+                st, sh = ray_sphere(o, d, geom.sph_center[sph], geom.sph_radius[sph])
+            else:
+                st = jnp.full((n,), jnp.inf); sh = jnp.zeros((n,), bool)
+            pt = jnp.where(is_tri, tt, st)
+            ph = jnp.where(is_tri, th, sh)
+            upd = pvalid & ph & (pt < bt)
+            bt = jnp.where(upd, pt, bt)
+            buv = jnp.where(upd[:, None],
+                            jnp.where(is_tri[:, None], jnp.stack([u, v], -1),
+                                      jnp.zeros((n, 2))), buv)
+            bprim = jnp.where(upd, gp, bprim)
+        return stack, sptr, bt, buv, bprim
+
+    state = jax.lax.while_loop(cond_any if any_hit else cond, body, state0)
+    _, _, bt, buv, bprim = state
+    hit_valid = jnp.isfinite(bt) & (bt < maxt)
+    return bt, buv, jnp.where(hit_valid, bprim, -1)
+
+
+def ray_intersect_prelim(geom, ray, mode: str = None) -> PreliminaryIntersection:
+    """Closest-hit query -> PreliminaryIntersection (detached).
+
+    Equivalent of Scene::ray_intersect_preliminary (scene.h:146).
+    """
+    mode = mode or geom.accel_mode
+    d = jax.lax.stop_gradient(ray.d)
+    o = jax.lax.stop_gradient(ray.o)
+    if mode == "bvh":
+        t, uv, prim = intersect_bvh(geom, o, d, ray.maxt)
+    else:
+        t, uv, prim = intersect_brute(geom, o, d, ray.maxt)
+    F = geom.tri_p0.shape[0]
+    S = geom.sph_center.shape[0]
+    is_tri = (prim >= 0) & (prim < F)
+    tri_sid = geom.tri_shape[jnp.clip(prim, 0, F - 1)] if F > 0 \
+        else jnp.full_like(prim, -1)
+    sph_sid = geom.sph_shape[jnp.clip(prim - F, 0, S - 1)] if S > 0 \
+        else jnp.full_like(prim, -1)
+    shape_idx = jnp.where(prim >= 0, jnp.where(is_tri, tri_sid, sph_sid), -1)
+    return PreliminaryIntersection(
+        t=jnp.where(prim >= 0, t, jnp.inf), prim_uv=uv,
+        prim_index=prim, shape_index=shape_idx)
+
+
+def ray_test(geom, ray, mode: str = None):
+    """Shadow/any-hit query -> bool occluded (Scene::ray_test scene.h:175)."""
+    mode = mode or geom.accel_mode
+    o = jax.lax.stop_gradient(ray.o)
+    d = jax.lax.stop_gradient(ray.d)
+    if mode == "bvh":
+        t, _, prim = intersect_bvh(geom, o, d, ray.maxt, any_hit=True)
+        return prim >= 0
+    t, _, prim = intersect_brute(geom, o, d, ray.maxt)
+    return prim >= 0

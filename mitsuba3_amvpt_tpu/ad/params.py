@@ -1,0 +1,55 @@
+"""Scene parameter traversal (mi.traverse / SceneParameters equivalent,
+reference src/python/python/util.py:13-332).
+
+The scene is already a pytree, so "traversal" is path-based leaf
+selection: ``traverse(scene)`` returns a flat {name: array} dict of the
+differentiable parameters, and ``update_scene(scene, params)`` writes
+modified values back (functionally).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# differentiable parameter paths (name -> accessor chain)
+_PARAM_PATHS = {
+    "materials.albedo": ("materials", "albedo"),
+    "materials.alpha": ("materials", "alpha"),
+    "materials.eta": ("materials", "eta"),
+    "materials.spec_refl": ("materials", "spec_refl"),
+    "materials.spec_trans": ("materials", "spec_trans"),
+    "emitters.radiance": ("emitters", "radiance"),
+    "textures.texels": ("textures", "texels"),
+    "geom.verts": ("geom", "verts"),
+}
+
+
+def traverse(scene, keys=None) -> dict:
+    """Flat view of the differentiable scene parameters."""
+    out = {}
+    for name, path in _PARAM_PATHS.items():
+        if keys is not None and name not in keys:
+            continue
+        obj = scene
+        for p in path:
+            obj = getattr(obj, p)
+        out[name] = obj
+    return out
+
+
+def update_scene(scene, params: dict):
+    """Return a new Scene with the given parameter values written back."""
+    for name, val in params.items():
+        path = _PARAM_PATHS[name]
+        parent_path, leaf = path[:-1], path[-1]
+        obj = scene
+        chain = []
+        for p in parent_path:
+            chain.append((obj, p))
+            obj = getattr(obj, p)
+        new_obj = obj.replace(**{leaf: val})
+        for holder, attr in reversed(chain):
+            new_obj = holder.replace(**{attr: new_obj})
+        scene = new_obj
+    return scene

@@ -1,0 +1,226 @@
+"""Image I/O: EXR / PNG / JPG / PFM / RGBE read+write.
+
+Replaces the reference's Bitmap class (src/core/bitmap.cpp, 2558 LoC;
+OpenEXR/libpng/libjpeg backends).  The OpenEXR python module is not in
+the image, so EXR support is a small pure-Python scanline codec
+(float32/half, zip or no compression) sufficient for renderer output and
+parity tests; PNG/JPG ride on PIL.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Minimal OpenEXR 2.0 scanline codec
+# ---------------------------------------------------------------------------
+
+_EXR_MAGIC = 20000630
+_PT_HALF, _PT_FLOAT = 1, 2
+
+
+def _write_attr(f, name, typ, data):
+    f.write(name.encode() + b"\x00" + typ.encode() + b"\x00")
+    f.write(struct.pack("<i", len(data)))
+    f.write(data)
+
+
+def write_exr(path: str, img: np.ndarray, half: bool = False):
+    """Write (H, W, C<=4) float array as a zip-compressed scanline EXR."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None]
+    H, W, C = img.shape
+    names = {1: ["Y"], 3: ["R", "G", "B"], 4: ["R", "G", "B", "A"]}[C]
+    order = np.argsort(names)  # EXR requires alphabetical channel order
+    pt = _PT_HALF if half else _PT_FLOAT
+    dtype = np.float16 if half else np.float32
+    psize = 2 if half else 4
+
+    with open(path, "wb") as f:
+        f.write(struct.pack("<ii", _EXR_MAGIC, 2))
+        chan = b""
+        for i in order:
+            chan += names[i].encode() + b"\x00"
+            chan += struct.pack("<iiii", pt, 0, 1, 1)
+        chan += b"\x00"
+        _write_attr(f, "channels", "chlist", chan)
+        _write_attr(f, "compression", "compression", struct.pack("<B", 4))  # zip16
+        _write_attr(f, "dataWindow", "box2i", struct.pack("<iiii", 0, 0, W - 1, H - 1))
+        _write_attr(f, "displayWindow", "box2i", struct.pack("<iiii", 0, 0, W - 1, H - 1))
+        _write_attr(f, "lineOrder", "lineOrder", struct.pack("<B", 0))
+        _write_attr(f, "pixelAspectRatio", "float", struct.pack("<f", 1.0))
+        _write_attr(f, "screenWindowCenter", "v2f", struct.pack("<ff", 0.0, 0.0))
+        _write_attr(f, "screenWindowWidth", "float", struct.pack("<f", 1.0))
+        f.write(b"\x00")
+
+        n_blocks = (H + 15) // 16
+        offset_pos = f.tell()
+        f.write(b"\x00" * 8 * n_blocks)
+        offsets = []
+        for b in range(n_blocks):
+            y0 = b * 16
+            rows = min(16, H - y0)
+            raw = b""
+            for y in range(y0, y0 + rows):
+                for i in order:
+                    raw += img[y, :, i].astype(dtype).tobytes()
+            # EXR zip predictor: delta then interleave
+            arr = np.frombuffer(raw, np.uint8).astype(np.int16)
+            d = np.empty_like(arr)
+            d[0] = arr[0]
+            d[1:] = ((arr[1:] - arr[:-1]) + 128 + 256) & 0xFF
+            half_n = (len(d) + 1) // 2
+            inter = np.empty(len(d), np.uint8)
+            inter[:half_n] = d[0::2].astype(np.uint8)
+            inter[half_n:] = d[1::2].astype(np.uint8)
+            comp = zlib.compress(inter.tobytes())
+            if len(comp) >= len(raw):
+                comp = raw
+            offsets.append(f.tell())
+            f.write(struct.pack("<ii", y0, len(comp)))
+            f.write(comp)
+        end = f.tell()
+        f.seek(offset_pos)
+        for o in offsets:
+            f.write(struct.pack("<Q", o))
+        f.seek(end)
+
+
+def read_exr(path: str) -> np.ndarray:
+    """Read a scanline EXR (none/zip compression, float/half)."""
+    with open(path, "rb") as f:
+        magic, version = struct.unpack("<ii", f.read(8))
+        assert magic == _EXR_MAGIC, "not an EXR file"
+        attrs = {}
+        while True:
+            name = b""
+            c = f.read(1)
+            if c == b"\x00":
+                break
+            while c != b"\x00":
+                name += c
+                c = f.read(1)
+            typ = b""
+            c = f.read(1)
+            while c != b"\x00":
+                typ += c
+                c = f.read(1)
+            size, = struct.unpack("<i", f.read(4))
+            attrs[name.decode()] = (typ.decode(), f.read(size))
+
+        # channels
+        chdata = attrs["channels"][1]
+        chans = []
+        off = 0
+        while chdata[off] != 0:
+            end = chdata.index(b"\x00", off)
+            nm = chdata[off:end].decode()
+            pt, _, sx, sy = struct.unpack("<iiii", chdata[end + 1:end + 17])
+            chans.append((nm, pt))
+            off = end + 17
+        comp = attrs["compression"][1][0]
+        x0, y0, x1, y1 = struct.unpack("<iiii", attrs["dataWindow"][1])
+        W, H = x1 - x0 + 1, y1 - y0 + 1
+        rows_per_block = {0: 1, 1: 1, 2: 1, 3: 16, 4: 16}[comp]
+        n_blocks = (H + rows_per_block - 1) // rows_per_block
+        f.read(8 * n_blocks)  # offsets (we read sequentially)
+
+        out = {nm: np.zeros((H, W), np.float32) for nm, _ in chans}
+        for _ in range(n_blocks):
+            y, size = struct.unpack("<ii", f.read(8))
+            data = f.read(size)
+            rows = min(rows_per_block, H - (y - y0))
+            rawlen = sum(W * (2 if pt == _PT_HALF else 4) for _, pt in chans) * rows
+            if comp in (2, 3, 4) and size != rawlen:
+                inter = np.frombuffer(zlib.decompress(data), np.uint8)
+                half_n = (len(inter) + 1) // 2
+                d = np.empty(len(inter), np.uint8)
+                d[0::2] = inter[:half_n]
+                d[1::2] = inter[half_n:]
+                arr = d.astype(np.int16)
+                arr[1:] = arr[1:] - 128
+                raw = np.cumsum(arr).astype(np.uint8).tobytes()
+            else:
+                raw = data
+            off2 = 0
+            for r in range(rows):
+                for nm, pt in chans:
+                    nbytes = W * (2 if pt == _PT_HALF else 4)
+                    seg = raw[off2:off2 + nbytes]
+                    vals = np.frombuffer(seg, np.float16 if pt == _PT_HALF
+                                         else np.float32).astype(np.float32)
+                    out[nm][y - y0 + r] = vals
+                    off2 += nbytes
+        if all(k in out for k in "RGB"):
+            ch = [out["R"], out["G"], out["B"]]
+            if "A" in out:
+                ch.append(out["A"])
+            return np.stack(ch, -1)
+        return np.stack(list(out.values()), -1)
+
+
+# ---------------------------------------------------------------------------
+# PFM / RGBE
+# ---------------------------------------------------------------------------
+
+def write_pfm(path: str, img: np.ndarray):
+    img = np.asarray(img, np.float32)
+    color = img.ndim == 3 and img.shape[2] == 3
+    with open(path, "wb") as f:
+        f.write(b"PF\n" if color else b"Pf\n")
+        f.write(f"{img.shape[1]} {img.shape[0]}\n".encode())
+        f.write(b"-1.0\n")
+        f.write(np.flipud(img).tobytes())
+
+
+def read_pfm(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        head = f.readline().strip()
+        color = head == b"PF"
+        W, H = map(int, f.readline().split())
+        scale = float(f.readline())
+        data = np.frombuffer(f.read(), "<f4" if scale < 0 else ">f4")
+        img = data.reshape(H, W, 3 if color else 1)
+        return np.flipud(img).copy()
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+def read_image(path: str) -> np.ndarray:
+    """Read any supported image -> (H, W, C) float32 linear."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".exr":
+        return read_exr(path)
+    if ext == ".pfm":
+        return read_pfm(path)
+    from PIL import Image
+    img = np.asarray(Image.open(path))
+    img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, -1)
+    if ext in (".png", ".jpg", ".jpeg", ".bmp", ".tga"):
+        # sRGB -> linear (bitmap.cpp conversion on load)
+        img = np.where(img <= 0.04045, img / 12.92,
+                       ((img + 0.055) / 1.055) ** 2.4)
+    return img[..., :3]
+
+
+def write_image(path: str, img: np.ndarray):
+    """Write float image; EXR/PFM keep HDR, PNG/JPG tonemap via sRGB."""
+    ext = os.path.splitext(path)[1].lower()
+    img = np.asarray(img, np.float32)
+    if ext == ".exr":
+        return write_exr(path, img)
+    if ext == ".pfm":
+        return write_pfm(path, img)
+    from PIL import Image
+    x = np.clip(img, 0.0, 1.0)
+    x = np.where(x <= 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)
+    Image.fromarray((x * 255 + 0.5).astype(np.uint8)).save(path)

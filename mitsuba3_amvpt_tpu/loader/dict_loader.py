@@ -1,0 +1,705 @@
+"""Scene construction from Mitsuba-style dicts.
+
+Replaces the Properties/PluginManager/XML machinery of the reference
+(src/core/xml.cpp 1411 LoC, src/core/plugin.cpp, src/core/properties.cpp)
+with a thin Python loader: the same ``mi.load_dict`` scene description
+format, compiled directly into the flat SoA arrays of render/scene.py.
+XML import (for parity tests) lives in loader/xml_loader.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..accel.build import build_bvh, triangle_bounds
+from ..core import math as m
+from ..core.distr import DiscreteDistribution, Marginal2D
+from ..render import film as film_mod
+from ..render import sensor as sensor_mod
+from ..render.bsdfs import registry as bsdf_reg
+from ..render.scene import (E_AREA, E_CONSTANT, E_DIRECTIONAL, E_ENVMAP,
+                            E_POINT, E_PROJECTOR, E_SPOT, EmitterTable,
+                            GeometryArrays, Scene)
+from ..render.texture import TextureTable
+from . import meshes
+
+# Named IOR presets (src/core/properties.cpp ior lookup / Mitsuba docs)
+IOR = {"vacuum": 1.0, "air": 1.000277, "water": 1.3330, "glass": 1.5046,
+       "bk7": 1.5046, "diamond": 2.419, "acrylic": 1.49,
+       "polypropylene": 1.49, "ethanol": 1.361, "pet": 1.5750,
+       "sapphire": 1.7682, "water ice": 1.31, "fused quartz": 1.458,
+       "pyrex": 1.470, "bromine": 1.661}
+
+# Conductor eta/k RGB presets (fits of spectra shipped with Mitsuba)
+CONDUCTORS = {
+    "Au": ([0.1431, 0.3749, 1.4424], [3.9831, 2.3857, 1.6032]),
+    "Ag": ([0.1553, 0.1163, 0.1381], [4.8283, 3.1222, 2.1457]),
+    "Cu": ([0.2004, 0.9240, 1.1022], [3.9129, 2.4528, 2.1421]),
+    "Al": ([1.3456, 0.9654, 0.6172], [7.4746, 6.3995, 5.3031]),
+    "Cr": ([4.3696, 2.9167, 1.6547], [5.2080, 4.2311, 3.7505]),
+    "Ni": ([2.3672, 1.6633, 1.4670], [4.4988, 3.0501, 2.3454]),
+    "W": ([4.3707, 3.3002, 2.9982], [3.5006, 2.6045, 2.2731]),
+    "none": ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
+}
+
+_BSDF_TYPE = {
+    "diffuse": bsdf_reg.D_DIFFUSE,
+    "conductor": bsdf_reg.D_CONDUCTOR,
+    "roughconductor": bsdf_reg.D_ROUGHCONDUCTOR,
+    "dielectric": bsdf_reg.D_DIELECTRIC,
+    "roughdielectric": bsdf_reg.D_ROUGHDIELECTRIC,
+    "plastic": bsdf_reg.D_PLASTIC,
+    "roughplastic": bsdf_reg.D_ROUGHPLASTIC,
+    "thindielectric": bsdf_reg.D_THINDIELECTRIC,
+    "null": bsdf_reg.D_NULL,
+}
+
+
+def _spectrum3(v, default=0.5):
+    """Any scalar/list/rgb-dict spectrum value -> np (3,)."""
+    if v is None:
+        v = default
+    if isinstance(v, dict):
+        t = v.get("type")
+        if t == "rgb":
+            v = v["value"]
+        elif t in ("uniform", "d65"):
+            v = v.get("value", v.get("scale", 1.0))
+        elif t == "blackbody":
+            v = _blackbody_rgb(v.get("temperature", 6500.0)) * v.get("scale", 1.0)
+        else:
+            v = v.get("value", default)
+    a = np.asarray(v, np.float64).reshape(-1)
+    if a.size == 1:
+        a = np.repeat(a, 3)
+    return a[:3]
+
+
+def _blackbody_rgb(temp_k):
+    """Planck spectrum -> linear sRGB (rough; src/spectra/blackbody.cpp)."""
+    wl = np.linspace(380e-9, 730e-9, 64)
+    h, c, kb = 6.626e-34, 2.998e8, 1.381e-23
+    p = (2 * h * c * c / wl ** 5) / (np.exp(h * c / (wl * kb * temp_k)) - 1.0)
+    p = p / p.max()
+    from ..core.spectrum import cie1931_xyz, xyz_to_srgb
+    xyz = np.asarray(cie1931_xyz(jnp.asarray(wl * 1e9)))
+    XYZ = (p[:, None] * xyz).sum(0)
+    rgb = np.asarray(xyz_to_srgb(jnp.asarray(XYZ / max(XYZ[1], 1e-9))))
+    return np.clip(rgb, 0.0, None)
+
+
+def _to_world(v):
+    """Transform spec -> 4x4 numpy (accepts matrix, dict with lookat /
+    translate / scale / rotate chains, or None)."""
+    if v is None:
+        return np.eye(4)
+    if isinstance(v, np.ndarray):
+        return np.asarray(v, np.float64).reshape(4, 4)
+    if isinstance(v, (list, tuple)):
+        a = np.asarray(v, np.float64)
+        if a.shape == (4, 4):
+            return a
+        raise ValueError("matrix to_world must be 4x4")
+    if isinstance(v, dict):
+        ops = v.get("ops")
+        if ops is None:
+            ops = []
+            for key in ("translate", "rotate", "scale", "lookat", "look_at", "matrix"):
+                if key in v:
+                    ops.append({key: v[key]})
+        mtx = np.eye(4)
+        for op in ops:
+            (key, val), = op.items()
+            if key == "translate":
+                t = m.translate(val)
+            elif key == "scale":
+                t = m.scale(val)
+            elif key == "rotate":
+                t = m.rotate(val.get("axis", [0, 0, 1]), val.get("angle", 0.0))
+            elif key in ("lookat", "look_at"):
+                t = m.look_at(val["origin"], val["target"], val.get("up", [0, 1, 0]))
+            elif key == "matrix":
+                t = np.asarray(val, np.float64).reshape(4, 4)
+            else:
+                raise ValueError(f"unknown transform op {key}")
+            mtx = t @ mtx
+        return mtx
+    raise ValueError(f"bad to_world {v!r}")
+
+
+class _Builder:
+    def __init__(self):
+        self.verts = []          # list of (V,3)
+        self.faces = []
+        self.vns = []
+        self.vuvs = []
+        self.face_hasvn = []
+        self.face_hasuv = []
+        self.tri_shape = []
+        self.v_off = 0
+        self.sph_center = []
+        self.sph_radius = []
+        self.sph_shape = []
+        self.shape_mat = []
+        self.shape_em = []
+        self.n_shapes = 0
+        self.materials = []      # list of dict rows
+        self.mat_cache = {}
+        self.named_bsdfs = {}    # scene-dict key -> material index ('ref' ids)
+        self.textures = []       # list of images
+        self.emitters = []       # list of dict rows
+        self.sensor = None
+        self.film = None
+        self.integrator = {}
+        self.accel = "auto"
+
+    # ---------------- textures ----------------
+
+    def add_texture_image(self, img):
+        self.textures.append(np.asarray(img, np.float32))
+        return len(self.textures) - 1
+
+    def resolve_texture(self, v):
+        """Texture spec -> (constant rgb, tex_id)."""
+        if isinstance(v, dict) and v.get("type") == "bitmap":
+            img = v.get("data")
+            if img is None:
+                from ..core.bitmap import read_image
+                img = read_image(v["filename"])
+                if v.get("raw", False) is False and img.dtype == np.uint8:
+                    pass
+            tid = self.add_texture_image(img)
+            return np.ones(3), tid
+        if isinstance(v, dict) and v.get("type") == "checkerboard":
+            c0 = _spectrum3(v.get("color0", 0.4))
+            c1 = _spectrum3(v.get("color1", 0.2))
+            res = int(v.get("res", 64))
+            yy, xx = np.meshgrid(np.arange(res), np.arange(res), indexing="ij")
+            mask = ((xx * 2 // res + yy * 2 // res) % 2) == 0
+            img = np.where(mask[..., None], c0, c1).astype(np.float32)
+            tid = self.add_texture_image(img)
+            return np.ones(3), tid
+        return _spectrum3(v), -1
+
+    # ---------------- bsdfs ----------------
+
+    def add_bsdf(self, spec, name=None) -> int:
+        if spec is None:
+            spec = {"type": "diffuse"}
+        if isinstance(spec, dict) and spec.get("type") == "ref":
+            return self.named_bsdfs[spec["id"]]
+        key = id(spec) if isinstance(spec, dict) else spec
+        if key in self.mat_cache:
+            idx = self.mat_cache[key]
+        else:
+            row = self._bsdf_row(spec)
+            self.materials.append(row)
+            idx = len(self.materials) - 1
+            self.mat_cache[key] = idx
+        if name is not None:
+            self.named_bsdfs[name] = idx
+        return idx
+
+    def _bsdf_row(self, spec):
+        twosided = False
+        while spec.get("type") == "twosided":
+            twosided = True
+            inner = [v for v in spec.values()
+                     if isinstance(v, dict) and "type" in v and v is not spec]
+            spec = spec.get("bsdf", inner[0] if inner else {"type": "diffuse"})
+        t = spec["type"]
+        if t == "bumpmap" or t == "normalmap" or t == "mask" or t == "blendbsdf":
+            # parity gap: treat as the nested bsdf (round 2+)
+            inner = [v for v in spec.values() if isinstance(v, dict) and "type" in v]
+            return self._bsdf_row(inner[0] if inner else {"type": "diffuse"})
+        if t not in _BSDF_TYPE:
+            raise ValueError(f"unsupported bsdf type {t!r}")
+        mtype = _BSDF_TYPE[t]
+
+        albedo, albedo_tex = np.array([0.5] * 3), -1
+        if t == "diffuse":
+            albedo, albedo_tex = self.resolve_texture(spec.get("reflectance", 0.5))
+        if t in ("plastic", "roughplastic"):
+            albedo, albedo_tex = self.resolve_texture(
+                spec.get("diffuse_reflectance", 0.5))
+
+        alpha = np.array([0.1, 0.1])
+        alpha_tex = -1
+        if "alpha" in spec:
+            a = spec["alpha"]
+            if isinstance(a, dict):
+                _, alpha_tex = self.resolve_texture(a)
+                alpha = np.array([0.1, 0.1])
+            else:
+                alpha = np.array([float(a), float(a)])
+        if "alpha_u" in spec:
+            alpha = np.array([float(spec["alpha_u"]),
+                              float(spec.get("alpha_v", spec["alpha_u"]))])
+
+        def ior_of(v, default):
+            if isinstance(v, str):
+                return IOR[v]
+            return float(v) if v is not None else default
+
+        eta_c = np.zeros(3)
+        k_c = np.ones(3)
+        if t in ("conductor", "roughconductor"):
+            mat_name = spec.get("material", "none")
+            if "eta" in spec and not isinstance(spec["eta"], str):
+                eta_c = _spectrum3(spec["eta"])
+                k_c = _spectrum3(spec.get("k", 1.0))
+            else:
+                eta_c, k_c = map(np.asarray, CONDUCTORS[mat_name])
+
+        int_ior = ior_of(spec.get("int_ior"), 1.5046)
+        ext_ior = ior_of(spec.get("ext_ior"), 1.000277)
+        if t in ("plastic", "roughplastic"):
+            int_ior = ior_of(spec.get("int_ior"), 1.49)
+        eta = int_ior / ext_ior
+        if "eta" in spec and t in ("dielectric", "roughdielectric",
+                                   "thindielectric"):
+            v = spec["eta"]
+            eta = IOR[v] if isinstance(v, str) else float(v)
+
+        spec_refl = _spectrum3(spec.get("specular_reflectance", 1.0))
+        spec_trans = _spectrum3(spec.get("specular_transmittance", 1.0))
+
+        from ..core.fresnel import fresnel_diffuse_reflectance
+        fdr = float(fresnel_diffuse_reflectance(jnp.asarray(1.0 / eta)))
+        d_mean = float(np.mean(albedo))
+        s_mean = float(np.mean(spec_refl))
+        sw = s_mean / max(d_mean + s_mean, 1e-9)
+
+        return dict(mtype=mtype, albedo=albedo, albedo_tex=albedo_tex,
+                    alpha=alpha, alpha_tex=alpha_tex, eta_c=eta_c, k_c=k_c,
+                    eta=eta, spec_refl=spec_refl, spec_trans=spec_trans,
+                    twosided=twosided, fdr_int=fdr, spec_weight=sw)
+
+    # ---------------- shapes ----------------
+
+    def add_shape(self, spec):
+        t = spec["type"]
+        tw = _to_world(spec.get("to_world"))
+        shape_id = self.n_shapes
+        self.n_shapes += 1
+
+        bsdf_spec = spec.get("bsdf")
+        if bsdf_spec is None:
+            bsdf_spec = next(
+                (v for k, v in spec.items()
+                 if isinstance(v, dict)
+                 and v.get("type") in (*_BSDF_TYPE, "twosided", "ref")
+                 and k != "emitter"),
+                None)
+        mat_idx = self.add_bsdf(bsdf_spec)
+        self.shape_mat.append(mat_idx)
+
+        em_spec = spec.get("emitter")
+        if em_spec is None:
+            em_spec = next((v for v in spec.values()
+                            if isinstance(v, dict) and v.get("type") == "area"), None)
+        if em_spec is not None:
+            rad, tex = self.resolve_texture(em_spec.get("radiance", 1.0))
+            self.emitters.append(dict(
+                e_type=E_AREA, radiance=rad, tex=tex, to_world=np.eye(4),
+                shape=shape_id, params=np.zeros(4),
+                weight=float(em_spec.get("sampling_weight", 1.0))))
+            self.shape_em.append(len(self.emitters) - 1)
+        else:
+            self.shape_em.append(-1)
+
+        if t == "sphere":
+            c = np.asarray(spec.get("center", [0, 0, 0]), np.float64)
+            r = float(spec.get("radius", 1.0))
+            c = m.transform_point(jnp.asarray(tw), jnp.asarray(c))
+            sc = float(np.cbrt(abs(np.linalg.det(tw[:3, :3])))) if tw is not None else 1.0
+            self.sph_center.append(np.asarray(c))
+            self.sph_radius.append(r * sc)
+            self.sph_shape.append(shape_id)
+            return
+
+        if t == "rectangle":
+            v, f, vn, uv = meshes.rectangle()
+        elif t == "cube":
+            v, f, vn, uv = meshes.cube()
+        elif t == "disk":
+            v, f, vn, uv = meshes.disk()
+        elif t == "cylinder":
+            v, f, vn, uv = meshes.cylinder()
+        elif t == "obj":
+            v, f, vn, uv = meshes.load_obj(spec["filename"])
+            if not spec.get("face_normals", False) and vn is None:
+                vn = _smooth_normals(v, f)
+        elif t == "ply":
+            v, f, vn, uv = meshes.load_ply(spec["filename"])
+            if not spec.get("face_normals", False) and vn is None:
+                vn = _smooth_normals(v, f)
+        elif t == "trimesh":
+            v = np.asarray(spec["vertices"], np.float64)
+            f = np.asarray(spec["faces"], np.int32)
+            vn = spec.get("normals")
+            uv = spec.get("uvs")
+        else:
+            raise ValueError(f"unsupported shape type {t!r}")
+        if spec.get("face_normals", False):
+            vn = None
+
+        # bake to_world
+        v_w = (tw[:3, :3] @ v.T).T + tw[:3, 3]
+        nrm_mat = np.linalg.inv(tw[:3, :3]).T
+        vn_w = None if vn is None else (nrm_mat @ np.asarray(vn).T).T
+        if spec.get("flip_normals", False):
+            f = f[:, ::-1].copy()
+            if vn_w is not None:
+                vn_w = -vn_w
+
+        F = f.shape[0]
+        self.verts.append(v_w)
+        self.faces.append(f + self.v_off)
+        if vn_w is not None:
+            norm = np.linalg.norm(vn_w, axis=-1, keepdims=True)
+            vn_w = vn_w / np.maximum(norm, 1e-20)
+            self.vns.append(vn_w)
+        else:
+            self.vns.append(np.zeros_like(v_w))
+        self.vuvs.append(np.zeros((len(v_w), 2)) if uv is None else np.asarray(uv))
+        self.face_hasvn.append(np.full(F, vn_w is not None))
+        self.face_hasuv.append(np.full(F, uv is not None))
+        self.tri_shape.append(np.full(F, shape_id, np.int32))
+        self.v_off += len(v_w)
+
+    # ---------------- emitters (non-area) ----------------
+
+    def add_emitter(self, spec):
+        t = spec["type"]
+        tw = _to_world(spec.get("to_world"))
+        row = dict(e_type=None, radiance=np.zeros(3), tex=-1, to_world=tw,
+                   shape=-1, params=np.zeros(4),
+                   weight=float(spec.get("sampling_weight", 1.0)))
+        if t == "point":
+            row["e_type"] = E_POINT
+            row["radiance"] = _spectrum3(spec.get("intensity", 1.0))
+            if "position" in spec:
+                tw = m.translate(spec["position"])
+                row["to_world"] = tw
+        elif t == "constant":
+            row["e_type"] = E_CONSTANT
+            row["radiance"] = _spectrum3(spec.get("radiance", 1.0))
+        elif t == "envmap":
+            row["e_type"] = E_ENVMAP
+            img = spec.get("data")
+            if img is None:
+                from ..core.bitmap import read_image
+                img = read_image(spec["filename"])
+            row["tex"] = self.add_texture_image(img)
+            row["radiance"] = np.full(3, float(spec.get("scale", 1.0)))
+        elif t in ("directional", "directionalarea"):
+            row["e_type"] = E_DIRECTIONAL
+            row["radiance"] = _spectrum3(spec.get("irradiance", 1.0))
+            if "direction" in spec:
+                d = np.asarray(spec["direction"], np.float64)
+                d = d / np.linalg.norm(d)
+                up = np.array([0.0, 1.0, 0.0])
+                if abs(d @ up) > 0.99:
+                    up = np.array([1.0, 0.0, 0.0])
+                row["to_world"] = m.look_at([0, 0, 0], d, up)
+        elif t == "spot":
+            row["e_type"] = E_SPOT
+            row["radiance"] = _spectrum3(spec.get("intensity", 1.0))
+            cutoff = np.deg2rad(float(spec.get("cutoff_angle", 20.0)))
+            beam = np.deg2rad(float(spec.get("beam_width",
+                                             np.rad2deg(cutoff) * 0.75)))
+            row["params"] = np.array([np.cos(cutoff), np.cos(beam), 0, 0])
+        elif t == "projector":
+            row["e_type"] = E_PROJECTOR
+            row["radiance"] = _spectrum3(spec.get("scale", 1.0))
+        else:
+            raise ValueError(f"unsupported emitter type {t!r}")
+        self.emitters.append(row)
+
+    # ---------------- sensor / film ----------------
+
+    def add_sensor(self, spec):
+        t = spec["type"]
+        film_spec = spec.get("film", {"type": "hdrfilm"})
+        W = int(film_spec.get("width", 256))
+        H = int(film_spec.get("height", 256))
+        rf = film_spec.get("rfilter", {"type": "gaussian"})
+        if isinstance(rf, str):
+            rf = {"type": rf}
+        fmap = {"box": (film_mod.F_BOX, 0.5), "tent": (film_mod.F_TENT, 1.0),
+                "gaussian": (film_mod.F_GAUSSIAN, 2.0),
+                "mitchell": (film_mod.F_MITCHELL, 2.0),
+                "catmullrom": (film_mod.F_CATMULLROM, 2.0),
+                "lanczos": (film_mod.F_LANCZOS, 3.0)}
+        ftype, radius = fmap[rf.get("type", "gaussian")]
+        radius = float(rf.get("radius", radius))
+
+        def fov_x(s, w, h):
+            fov = float(s.get("fov", 34.0))
+            axis = s.get("fov_axis", "x")
+            if axis == "y":
+                fov = np.rad2deg(2 * np.arctan(np.tan(np.deg2rad(fov) / 2) * w / h))
+            elif axis == "smaller":
+                if h < w:
+                    fov = np.rad2deg(2 * np.arctan(np.tan(np.deg2rad(fov) / 2) * w / h))
+            return fov
+
+        if t in ("perspective", "thinlens", "orthographic"):
+            tw = _to_world(spec.get("to_world"))
+            ctype = {"perspective": sensor_mod.S_PERSPECTIVE,
+                     "thinlens": sensor_mod.S_THINLENS,
+                     "orthographic": sensor_mod.S_ORTHOGRAPHIC}[t]
+            self.sensor = sensor_mod.make_camera_batch(
+                [tw], fov_x(spec, W, H), (W, H), cam_type=ctype,
+                aperture_radius=float(spec.get("aperture_radius", 0.0)),
+                focus_dist=float(spec.get("focus_distance", 1.0)),
+                near_clip=float(spec.get("near_clip", 1e-2)))
+            self.film = film_mod.FilmConfig(width=W, height=H, ftype=ftype,
+                                            radius=radius)
+        elif t in ("grid", "batch"):
+            from .grid_sensor import build_grid_sensor
+            self.sensor, (FW, FH) = build_grid_sensor(spec, fov_x, W, H)
+            self.film = film_mod.FilmConfig(width=FW, height=FH, ftype=ftype,
+                                            radius=radius)
+        else:
+            raise ValueError(f"unsupported sensor type {t!r}")
+
+    # ---------------- finalize ----------------
+
+    def finalize(self) -> Scene:
+        if self.sensor is None:
+            self.add_sensor({"type": "perspective"})
+        if not self.materials:
+            self.add_bsdf({"type": "diffuse"})
+
+        if self.verts:
+            verts = np.concatenate(self.verts, 0).astype(np.float32)
+            faces = np.concatenate(self.faces, 0).astype(np.int32)
+            vns = np.concatenate(self.vns, 0).astype(np.float32)
+            vuvs = np.concatenate(self.vuvs, 0).astype(np.float32)
+            hasvn = np.concatenate(self.face_hasvn, 0)
+            hasuv = np.concatenate(self.face_hasuv, 0)
+            tri_shape = np.concatenate(self.tri_shape, 0)
+        else:
+            verts = np.zeros((3, 3), np.float32)
+            faces = np.zeros((0, 3), np.int32)
+            vns = np.zeros((3, 3), np.float32)
+            vuvs = np.zeros((3, 2), np.float32)
+            hasvn = np.zeros((0,), bool)
+            hasuv = np.zeros((0,), bool)
+            tri_shape = np.zeros((0,), np.int32)
+
+        sphc = (np.asarray(self.sph_center, np.float32).reshape(-1, 3)
+                if self.sph_center else np.zeros((0, 3), np.float32))
+        sphr = np.asarray(self.sph_radius, np.float32).reshape(-1)
+        sphs = np.asarray(self.sph_shape, np.int32).reshape(-1)
+
+        F, S = faces.shape[0], sphc.shape[0]
+        n_prims = F + S
+
+        # accel: brute for small scenes, BVH beyond
+        accel = self.accel
+        if accel == "auto":
+            accel = "brute" if n_prims <= 2048 else "bvh"
+        if accel == "bvh" and n_prims > 0:
+            lo_t, hi_t = (triangle_bounds(verts, faces) if F > 0
+                          else (np.zeros((0, 3)), np.zeros((0, 3))))
+            lo_s = sphc - sphr[:, None]
+            hi_s = sphc + sphr[:, None]
+            lo = np.concatenate([lo_t, lo_s], 0)
+            hi = np.concatenate([hi_t, hi_s], 0)
+            bvh_bbox, bvh_meta, prim_order = build_bvh(lo, hi)
+        else:
+            bvh_bbox = np.zeros((1, 2, 3), np.float32)
+            bvh_meta = np.zeros((1, 2), np.int32)
+            prim_order = np.arange(max(n_prims, 1), dtype=np.int32)
+
+        geom = GeometryArrays(
+            verts=jnp.asarray(verts), faces=jnp.asarray(faces),
+            vnormals=jnp.asarray(vns), vuvs=jnp.asarray(vuvs),
+            has_vn=jnp.asarray(hasvn), has_uv=jnp.asarray(hasuv),
+            tri_shape=jnp.asarray(tri_shape),
+            sph_center=jnp.asarray(sphc), sph_radius=jnp.asarray(sphr),
+            sph_shape=jnp.asarray(sphs),
+            bvh_bbox=jnp.asarray(bvh_bbox), bvh_meta=jnp.asarray(bvh_meta),
+            bvh_prim_ids=jnp.asarray(prim_order), accel_mode=accel)
+
+        # scene bbox
+        allpts = [verts] if len(verts) else []
+        if S:
+            allpts += [sphc - sphr[:, None], sphc + sphr[:, None]]
+        pts = np.concatenate(allpts, 0) if allpts else np.zeros((1, 3))
+        bbox_lo, bbox_hi = pts.min(0), pts.max(0)
+
+        materials = self._material_table()
+        textures = TextureTable.build(self.textures)
+        emitters = self._emitter_table(verts, faces, tri_shape, sphc, sphr,
+                                       sphs, n_prims)
+
+        return Scene(
+            geom=geom,
+            shape_material=jnp.asarray(self.shape_mat, jnp.int32).reshape(-1),
+            shape_emitter=jnp.asarray(self.shape_em, jnp.int32).reshape(-1),
+            materials=materials, textures=textures, emitters=emitters,
+            sensor=self.sensor, film=self.film,
+            bbox_lo=jnp.asarray(bbox_lo, jnp.float32),
+            bbox_hi=jnp.asarray(bbox_hi, jnp.float32))
+
+    def _material_table(self):
+        rows = self.materials
+
+        def col(k, dt=np.float32):
+            return jnp.asarray(np.stack([np.asarray(r[k]) for r in rows]).astype(dt))
+
+        return bsdf_reg.MaterialTable(
+            mtype=col("mtype", np.int32), albedo=col("albedo"),
+            albedo_tex=col("albedo_tex", np.int32), alpha=col("alpha"),
+            alpha_tex=col("alpha_tex", np.int32), eta_c=col("eta_c"),
+            k_c=col("k_c"), eta=col("eta"), spec_refl=col("spec_refl"),
+            spec_trans=col("spec_trans"), twosided=col("twosided", bool),
+            fdr_int=col("fdr_int"), spec_weight=col("spec_weight"),
+            types_present=tuple(sorted({int(r["mtype"]) for r in rows})))
+
+    def _emitter_table(self, verts, faces, tri_shape, sphc, sphr, sphs,
+                       n_prims):
+        rows = self.emitters
+        E = max(len(rows), 1)
+        if not rows:
+            rows = [dict(e_type=E_POINT, radiance=np.zeros(3), tex=-1,
+                         to_world=np.eye(4), shape=-1, params=np.zeros(4),
+                         weight=0.0)]
+
+        # light-sample table: one entry per emissive prim + one per
+        # non-area emitter (env/const appended last — scene.py relies on it)
+        ls_prim, ls_emitter, ls_w = [], [], []
+        prim_em = np.full(max(n_prims, 1), -1, np.int32)
+        prim_pdf_area = np.zeros(max(n_prims, 1), np.float32)
+
+        # per-triangle area
+        if faces.shape[0]:
+            p0 = verts[faces[:, 0]]
+            p1 = verts[faces[:, 1]]
+            p2 = verts[faces[:, 2]]
+            tri_area = 0.5 * np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=-1)
+        else:
+            tri_area = np.zeros((0,))
+        sph_area = 4.0 * np.pi * sphr ** 2
+
+        env_idx = -1
+        deferred_inf = []
+        for e, r in enumerate(rows):
+            if r["e_type"] == E_AREA:
+                sid = r["shape"]
+                tmask = tri_shape == sid
+                tids = np.nonzero(tmask)[0]
+                areas = tri_area[tids]
+                smask = sphs == sid
+                sids_ = np.nonzero(smask)[0]
+                areas_s = sph_area[sids_]
+                total_area = areas.sum() + areas_s.sum()
+                for tid, a in zip(tids, areas):
+                    ls_prim.append(int(tid))
+                    ls_emitter.append(e)
+                    ls_w.append(r["weight"] * a / max(total_area, 1e-20))
+                    prim_em[tid] = e
+                for sid_, a in zip(sids_, areas_s):
+                    gp = faces.shape[0] + sid_
+                    ls_prim.append(int(gp))
+                    ls_emitter.append(e)
+                    ls_w.append(r["weight"] * a / max(total_area, 1e-20))
+                    prim_em[gp] = e
+            else:
+                if r["e_type"] in (E_CONSTANT, E_ENVMAP):
+                    env_idx = e
+                    deferred_inf.append(e)
+                else:
+                    ls_prim.append(-1)
+                    ls_emitter.append(e)
+                    ls_w.append(r["weight"])
+        for e in deferred_inf:
+            ls_prim.append(-1)
+            ls_emitter.append(e)
+            ls_w.append(rows[e]["weight"])
+
+        if not ls_w:
+            ls_prim, ls_emitter, ls_w = [-1], [0], [0.0]
+        ls_w = np.asarray(ls_w, np.float32)
+        total_w = max(ls_w.sum(), 1e-20)
+        # prim_pdf_area = P(entry) / prim_area
+        for i, (p, wgt) in enumerate(zip(ls_prim, ls_w)):
+            if p >= 0:
+                area = tri_area[p] if p < faces.shape[0] \
+                    else sph_area[p - faces.shape[0]]
+                prim_pdf_area[p] = (wgt / total_w) / max(area, 1e-20)
+
+        # envmap importance table
+        env_warp = Marginal2D.from_data(np.ones((1, 1), np.float32))
+        if env_idx >= 0 and rows[env_idx]["e_type"] == E_ENVMAP:
+            img = self.textures[rows[env_idx]["tex"]]
+            lum = (0.2126 * img[..., 0] + 0.7152 * img[..., 1]
+                   + 0.0722 * img[..., 2]).astype(np.float32)
+            h = lum.shape[0]
+            theta = (np.arange(h) + 0.5) / h * np.pi
+            lum = lum * np.sin(theta)[:, None]
+            env_warp = Marginal2D.from_data(np.maximum(lum, 1e-8))
+
+        def col(k, dt=np.float32):
+            return jnp.asarray(np.stack([np.asarray(r[k]) for r in rows]).astype(dt))
+
+        tw = np.stack([r["to_world"] for r in rows]).astype(np.float32)
+        twi = np.linalg.inv(tw.astype(np.float64)).astype(np.float32)
+        return EmitterTable(
+            e_type=col("e_type", np.int32), radiance=col("radiance"),
+            tex=col("tex", np.int32), to_world=jnp.asarray(tw),
+            to_world_inv=jnp.asarray(twi), shape=col("shape", np.int32),
+            params=col("params"), sampling_weight=col("weight"),
+            ls_distr=DiscreteDistribution.from_pmf(jnp.asarray(ls_w)),
+            ls_prim=jnp.asarray(ls_prim, jnp.int32),
+            ls_emitter=jnp.asarray(ls_emitter, jnp.int32),
+            prim_emitter=jnp.asarray(prim_em),
+            prim_pdf_area=jnp.asarray(prim_pdf_area),
+            env_warp=env_warp, env_index=env_idx,
+            types_present=tuple(sorted({int(r["e_type"]) for r in rows})))
+
+
+def _smooth_normals(v, f):
+    n = np.zeros_like(v)
+    p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+    fn = np.cross(p1 - p0, p2 - p0)  # area-weighted
+    for k in range(3):
+        np.add.at(n, f[:, k], fn)
+    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
+
+
+def load_dict(d: dict, accel: str = "auto") -> Scene:
+    """Build a Scene from a Mitsuba-style dict (mi.load_dict parity)."""
+    b = _Builder()
+    b.accel = accel
+    assert d.get("type", "scene") == "scene", "top-level type must be 'scene'"
+    for key, spec in d.items():
+        if key == "type" or not isinstance(spec, dict):
+            continue
+        t = spec.get("type")
+        if t in ("path", "direct", "depth", "aov", "moment", "volpath",
+                 "volpathmis", "ptracer", "mvpath"):
+            b.integrator = dict(spec)
+        elif t in ("perspective", "thinlens", "orthographic", "grid", "batch"):
+            b.add_sensor(spec)
+        elif t in ("point", "constant", "envmap", "directional", "spot",
+                   "projector", "directionalarea"):
+            b.add_emitter(spec)
+        elif t in ("rectangle", "cube", "disk", "cylinder", "sphere", "obj",
+                   "ply", "trimesh"):
+            b.add_shape(spec)
+        elif t in _BSDF_TYPE or t == "twosided":
+            b.add_bsdf(spec, name=key)   # top-level named bsdf ('ref' target)
+        elif t in ("independent", "stratified", "multijitter", "orthogonal",
+                   "ldsampler"):
+            b.integrator.setdefault("sampler", dict(spec))
+        else:
+            raise ValueError(f"unknown scene element {key}: {t}")
+    return b.finalize()

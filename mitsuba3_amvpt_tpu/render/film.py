@@ -1,0 +1,134 @@
+"""Film: filter-weighted sample splatting + develop.
+
+Replaces ImageBlock/HDRFilm/ReconstructionFilter of the reference
+(src/render/imageblock.cpp scatter_reduce splatting, src/films/hdrfilm.cpp
+develop, src/rfilters/*).  Accumulation is a pure-functional
+scatter-add into an (H, W, C+1) tensor — the last channel holds the
+accumulated filter weight, exactly the reference's layout
+[R,G,B,W] (SURVEY.md §A.3) — so develop() is differentiable and the raw
+accumulator is the checkpointable state (hdrfilm.cpp:308 raw=true).
+"""
+
+from __future__ import annotations
+
+import math as pymath
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+F_BOX = 0
+F_TENT = 1
+F_GAUSSIAN = 2
+F_MITCHELL = 3
+F_CATMULLROM = 4
+F_LANCZOS = 5
+
+_DEFAULT_RADII = {F_BOX: 0.5, F_TENT: 1.0, F_GAUSSIAN: 2.0,
+                  F_MITCHELL: 2.0, F_CATMULLROM: 2.0, F_LANCZOS: 3.0}
+
+
+def filter_eval(ftype: int, radius: float, x):
+    """1D filter kernel value at offset x (src/rfilters/*.cpp)."""
+    ax = jnp.abs(x)
+    if ftype == F_BOX:
+        return (ax <= radius).astype(x.dtype)
+    if ftype == F_TENT:
+        return jnp.maximum(1.0 - ax / radius, 0.0)
+    if ftype == F_GAUSSIAN:
+        sigma = radius / 2.0
+        a = 1.0 / (2.0 * sigma * sigma)
+        v = jnp.exp(-a * ax * ax) - pymath.exp(-a * radius * radius)
+        return jnp.maximum(v, 0.0)
+    if ftype in (F_MITCHELL, F_CATMULLROM):
+        if ftype == F_MITCHELL:
+            B = C = 1.0 / 3.0
+        else:
+            B, C = 0.0, 0.5
+        x1 = ax * 2.0 / radius  # normalized to [0,2]
+        x2 = x1 * x1
+        x3 = x2 * x1
+        v1 = ((12.0 - 9.0 * B - 6.0 * C) * x3
+              + (-18.0 + 12.0 * B + 6.0 * C) * x2 + (6.0 - 2.0 * B)) / 6.0
+        v2 = ((-B - 6.0 * C) * x3 + (6.0 * B + 30.0 * C) * x2
+              + (-12.0 * B - 48.0 * C) * x1 + (8.0 * B + 24.0 * C)) / 6.0
+        return jnp.where(x1 < 1.0, v1, jnp.where(x1 < 2.0, v2, 0.0))
+    if ftype == F_LANCZOS:
+        t = jnp.pi * ax
+        t2 = t / radius
+        s = jnp.where(ax < 1e-5, 1.0, jnp.sin(t) / jnp.maximum(t, 1e-20)
+                      * jnp.sin(t2) / jnp.maximum(t2, 1e-20))
+        return jnp.where(ax < radius, s, 0.0)
+    raise ValueError(f"unknown filter {ftype}")
+
+
+@struct.dataclass
+class FilmConfig:
+    width: int = struct.field(pytree_node=False)
+    height: int = struct.field(pytree_node=False)
+    ftype: int = struct.field(pytree_node=False, default=F_GAUSSIAN)
+    radius: float = struct.field(pytree_node=False, default=2.0)
+
+    @property
+    def n_taps(self):
+        """Filter footprint half-size in whole pixels."""
+        return int(pymath.ceil(self.radius - 0.5 + 1e-6))
+
+
+def film_prepare(cfg: FilmConfig, channels: int = 3):
+    """Fresh accumulator (Film::prepare / ImageBlock::clear)."""
+    return jnp.zeros((cfg.height, cfg.width, channels + 1), jnp.float32)
+
+
+def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None):
+    """Splat samples into the accumulator (ImageBlock::put
+    imageblock.cpp:126 scatter_reduce(Add)).
+
+    pos: (N, 2) continuous pixel coordinates (x, y) in [0, W) x [0, H).
+    values: (N, C).  weight: per-sample multiplier for the weight channel
+    (1 by default; AMVPT adaptive refill uses 1/(n_adapt+1),
+    mvpath_multi.h:52-58).
+    """
+    H, W, _ = acc.shape
+    n = pos.shape[0]
+    if weight is None:
+        weight = jnp.ones((n,), acc.dtype)
+    if active is not None:
+        weight = jnp.where(active, weight, 0.0)
+        values = jnp.where(active[..., None], values, 0.0)
+
+    data = jnp.concatenate([values * weight[..., None], weight[..., None]], -1)
+
+    if cfg.ftype == F_BOX and cfg.radius <= 0.5 + 1e-6:
+        xi = jnp.clip(pos[..., 0].astype(jnp.int32), 0, W - 1)
+        yi = jnp.clip(pos[..., 1].astype(jnp.int32), 0, H - 1)
+        return acc.at[yi, xi].add(data, mode="drop")
+
+    # general filter: static K x K tap footprint around the sample
+    base_x = jnp.floor(pos[..., 0] - 0.5).astype(jnp.int32)
+    base_y = jnp.floor(pos[..., 1] - 0.5).astype(jnp.int32)
+    K = 2 * cfg.n_taps
+    for dy in range(K):
+        for dx in range(K):
+            px = base_x + (dx - cfg.n_taps + 1)
+            py = base_y + (dy - cfg.n_taps + 1)
+            wx = filter_eval(cfg.ftype, cfg.radius,
+                             px.astype(acc.dtype) + 0.5 - pos[..., 0])
+            wy = filter_eval(cfg.ftype, cfg.radius,
+                             py.astype(acc.dtype) + 0.5 - pos[..., 1])
+            w = (wx * wy)[..., None]
+            inb = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+            px_c = jnp.clip(px, 0, W - 1)
+            py_c = jnp.clip(py, 0, H - 1)
+            acc = acc.at[py_c, px_c].add(
+                jnp.where(inb[..., None], data * w, 0.0))
+    return acc
+
+
+def film_develop(acc, raw: bool = False):
+    """Weight division (HDRFilm::develop hdrfilm.cpp:304-400):
+    values / select(weight == 0, 1, weight).  Differentiable."""
+    if raw:
+        return acc
+    w = acc[..., -1:]
+    return acc[..., :-1] / jnp.where(w == 0.0, 1.0, w)

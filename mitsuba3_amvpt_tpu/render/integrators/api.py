@@ -1,0 +1,95 @@
+"""Render driver: wavefront setup, pass splitting, film accumulation.
+
+Equivalent of SamplingIntegrator::render (src/render/integrator.cpp:150-
+330) + the AD layer's primal driver (src/python/python/ad/integrators/
+common.py:46-110 render / :231-309 sample_rays / :311-368 prepare).
+
+The wavefront is W*H*spp_per_pass lanes; spp is split into passes to
+bound memory (reference spp_pass_lim, mvpath.h:127), with the jitted
+pass function donating the film accumulator.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ...core.rng import Sampler, sample_tea_32
+from ..film import film_develop, film_prepare, film_put
+from ..records import Ray
+from . import path as path_mod
+
+_INTEGRATORS = {}
+
+
+def register_integrator(name):
+    def deco(fn):
+        _INTEGRATORS[name] = fn
+        return fn
+    return deco
+
+
+register_integrator("path")(path_mod.sample)
+
+
+def sample_rays(scene, sampler: Sampler):
+    """Per-lane pixel decode + primary ray generation (common.py:231-309
+    sample_rays; grid quilt decode grid.cpp:269-297)."""
+    sensor = scene.sensor
+    W, H = sensor.film_resolution
+    n = sampler.key.shape[0]
+    spp = n // (W * H)
+    idx = jnp.arange(n)
+    pixel = idx // jnp.maximum(spp, 1)
+    px = (pixel % W).astype(jnp.float32)
+    py = (pixel // W).astype(jnp.float32)
+    u_pos, sampler = sampler.next_2d()
+    pos = jnp.stack([px, py], -1) + u_pos
+    pos_uv = pos / jnp.array([W, H], jnp.float32)
+    view, uv = sensor.quilt_decode(pos_uv)
+    u_lens, sampler = sampler.next_2d()
+    ray, weight = sensor.sample_ray(view, uv, u_lens)
+    return ray, weight, pos, view, sampler
+
+
+@functools.partial(jax.jit, static_argnames=("integrator", "max_depth",
+                                             "rr_depth", "spp_pass"),
+                   donate_argnames=("acc",))
+def render_pass(scene, acc, seed, spp_pass: int, integrator: str = "path",
+                max_depth: int = 6, rr_depth: int = 5):
+    """One pass of spp_pass samples/pixel, accumulated into `acc`."""
+    W, H = scene.sensor.film_resolution
+    n = W * H * spp_pass
+    sampler = Sampler.seed(seed, n)
+    ray, weight, pos, view, sampler = sample_rays(scene, sampler)
+    sample_fn = _INTEGRATORS[integrator]
+    L, valid, aovs, sampler = sample_fn(scene, ray, sampler,
+                                        max_depth=max_depth, rr_depth=rr_depth)
+    return film_put(scene.film, acc, pos, L * weight)
+
+
+def render(scene, spp: int = 16, seed: int = 0, integrator: str = "path",
+           max_depth: int = 6, rr_depth: int = 5, spp_per_pass: int = None,
+           raw: bool = False):
+    """Full render -> (H, W, 3) image (mi.render equivalent, primal).
+
+    Pass seeds follow the reference discipline: per-pass seed =
+    spp_per_pass * i + seed (mvpath.cpp:227), decorrelated by TEA inside
+    Sampler.seed.
+    """
+    W, H = scene.sensor.film_resolution
+    if spp_per_pass is None:
+        # bound wavefront to ~2^22 lanes per pass
+        spp_per_pass = max(1, min(spp, (1 << 22) // max(W * H, 1)))
+    acc = film_prepare(scene.film)
+    done = 0
+    i = 0
+    while done < spp:
+        sp = min(spp_per_pass, spp - done)
+        acc = render_pass(scene, acc, jnp.uint32(seed + sp * i + done),
+                          sp, integrator, max_depth, rr_depth)
+        done += sp
+        i += 1
+    return acc if raw else film_develop(acc)

@@ -1,0 +1,444 @@
+"""Scene as a pytree of flat SoA arrays + its ray/emitter queries.
+
+TPU-native replacement for src/render/scene.cpp (Scene object DAG,
+emitter distribution, ray queries) and src/render/mesh.cpp
+(differentiable surface-interaction reconstruction).  The object graph
+of the reference collapses into:
+
+* GeometryArrays — vertex/face/sphere tables + BVH arrays,
+* per-shape index tables (material id, emitter id),
+* a flat "light-sample table" that jointly samples (emitter, primitive)
+  for NEE (mathematically identical to the reference's two-stage
+  DiscreteDistribution pick in Scene::sample_emitter_direction
+  scene.cpp:295 followed by per-shape area sampling),
+* EmitterTable / camera batch / film config built by loader/dict_loader.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from ..core import math as m
+from ..core import warp
+from ..core.distr import DiscreteDistribution, Marginal2D
+from ..accel import traverse
+from .records import (DirectionSample, PreliminaryIntersection, Ray,
+                      SurfaceInteraction)
+
+# Emitter type ids
+E_AREA = 0
+E_POINT = 1
+E_CONSTANT = 2
+E_ENVMAP = 3
+E_DIRECTIONAL = 4
+E_SPOT = 5
+E_PROJECTOR = 6
+E_DIRECTIONALAREA = 7
+
+
+@struct.dataclass
+class GeometryArrays:
+    verts: jnp.ndarray       # (V, 3) — differentiable positions
+    faces: jnp.ndarray       # (F, 3) int32
+    vnormals: jnp.ndarray    # (V, 3) shading normals (zeros = use geometric)
+    vuvs: jnp.ndarray        # (V, 2)
+    has_vn: jnp.ndarray      # (F,) bool — face uses interpolated normals
+    has_uv: jnp.ndarray      # (F,) bool
+    tri_shape: jnp.ndarray   # (F,) int32
+    sph_center: jnp.ndarray  # (S, 3)
+    sph_radius: jnp.ndarray  # (S,)
+    sph_shape: jnp.ndarray   # (S,) int32
+    bvh_bbox: jnp.ndarray    # (M, 2, 3)
+    bvh_meta: jnp.ndarray    # (M, 2) int32
+    bvh_prim_ids: jnp.ndarray  # (P,) int32
+    accel_mode: str = struct.field(pytree_node=False, default="brute")
+
+    @property
+    def tri_p0(self):
+        return self.verts[self.faces[:, 0]]
+
+    @property
+    def tri_p1(self):
+        return self.verts[self.faces[:, 1]]
+
+    @property
+    def tri_p2(self):
+        return self.verts[self.faces[:, 2]]
+
+    @property
+    def n_prims(self):
+        return self.faces.shape[0] + self.sph_center.shape[0]
+
+
+@struct.dataclass
+class EmitterTable:
+    """Flat emitter parameter table (replaces the Emitter plugin set)."""
+
+    e_type: jnp.ndarray       # (E,) int32
+    radiance: jnp.ndarray     # (E, 3) radiance / intensity / irradiance
+    tex: jnp.ndarray          # (E,) int32 texture id (-1 = constant)
+    to_world: jnp.ndarray     # (E, 4, 4)
+    to_world_inv: jnp.ndarray  # (E, 4, 4)
+    shape: jnp.ndarray        # (E,) shape id for area emitters, -1 else
+    params: jnp.ndarray       # (E, 4) type-specific scalars
+    sampling_weight: jnp.ndarray  # (E,)
+    # --- joint NEE light-sample table ---
+    ls_distr: DiscreteDistribution   # over L entries
+    ls_prim: jnp.ndarray      # (L,) global prim id or -1
+    ls_emitter: jnp.ndarray   # (L,) emitter id
+    # per global prim: area-measure pick density (p_entry / prim_area), -1 emitters
+    prim_emitter: jnp.ndarray     # (n_prims,) int32, -1 = not emissive
+    prim_pdf_area: jnp.ndarray    # (n_prims,) float32
+    env_warp: Marginal2D          # envmap importance table (1x1 dummy if none)
+    env_index: int = struct.field(pytree_node=False, default=-1)
+    types_present: tuple = struct.field(pytree_node=False, default=())
+
+    @property
+    def n(self):
+        return self.e_type.shape[0]
+
+
+@struct.dataclass
+class Scene:
+    geom: GeometryArrays
+    shape_material: jnp.ndarray   # (n_shapes,) int32
+    shape_emitter: jnp.ndarray    # (n_shapes,) int32
+    materials: Any                # bsdfs.registry.MaterialTable
+    textures: Any                 # texture.TextureTable
+    emitters: EmitterTable
+    sensor: Any                   # sensors CameraBatch
+    film: Any                     # film.FilmConfig
+    bbox_lo: jnp.ndarray          # scene bounds (for dist. emitters)
+    bbox_hi: jnp.ndarray
+
+    # ---------------- ray queries ----------------
+
+    def ray_intersect_preliminary(self, ray: Ray) -> PreliminaryIntersection:
+        return traverse.ray_intersect_prelim(self.geom, ray)
+
+    def ray_test(self, ray: Ray):
+        return traverse.ray_test(self.geom, ray)
+
+    def ray_intersect(self, ray: Ray) -> SurfaceInteraction:
+        return self.compute_surface_interaction(ray, self.ray_intersect_preliminary(ray))
+
+    # ---------------- differentiable SI reconstruction ----------------
+
+    def compute_surface_interaction(self, ray: Ray,
+                                    pi: PreliminaryIntersection) -> SurfaceInteraction:
+        """Reattach gradients to the detached hit (SURVEY.md §A.1,
+        Mesh::compute_surface_interaction mesh.cpp:1392-1480): re-run a
+        differentiable Möller-Trumbore on the hit triangle and graft its
+        derivative onto the primal (t, uv) via replace_grad."""
+        g = self.geom
+        F = g.faces.shape[0]
+        n = pi.t.shape[0]
+        valid = pi.is_valid
+        prim = jnp.maximum(pi.prim_index, 0)
+        is_tri = prim < F if F > 0 else jnp.zeros_like(valid)
+
+        # ---- triangles
+        if F > 0:
+            tri = jnp.clip(prim, 0, F - 1)
+            f = g.faces[tri]
+            p0 = g.verts[f[:, 0]]
+            p1 = g.verts[f[:, 1]]
+            p2 = g.verts[f[:, 2]]
+            t_d, u_d, v_d, _ = traverse.ray_triangle(ray.o, ray.d, p0, p1, p2, eps=1.0)
+            t_tri = m.replace_grad(pi.t, t_d)
+            uv_tri = m.replace_grad(pi.prim_uv,
+                                    jnp.stack([u_d, v_d], -1))
+            b0 = 1.0 - uv_tri[..., 0] - uv_tri[..., 1]
+            p_tri = (b0[..., None] * p0 + uv_tri[..., 0:1] * p1
+                     + uv_tri[..., 1:2] * p2)
+            ng_tri = m.normalize(jnp.cross(p1 - p0, p2 - p0))
+            vn = (b0[..., None] * g.vnormals[f[:, 0]]
+                  + uv_tri[..., 0:1] * g.vnormals[f[:, 1]]
+                  + uv_tri[..., 1:2] * g.vnormals[f[:, 2]])
+            use_vn = g.has_vn[tri]
+            ns_tri = jnp.where(use_vn[..., None], m.normalize(vn), ng_tri)
+            tuv = (b0[..., None] * g.vuvs[f[:, 0]]
+                   + uv_tri[..., 0:1] * g.vuvs[f[:, 1]]
+                   + uv_tri[..., 1:2] * g.vuvs[f[:, 2]])
+            uv_surf_tri = jnp.where(g.has_uv[tri][..., None], tuv, uv_tri)
+        else:
+            t_tri = pi.t
+            p_tri = jnp.zeros((n, 3))
+            ng_tri = jnp.zeros((n, 3))
+            ns_tri = ng_tri
+            uv_surf_tri = pi.prim_uv
+
+        # ---- spheres
+        S = g.sph_center.shape[0]
+        if S > 0:
+            sph = jnp.clip(prim - F, 0, S - 1)
+            c = g.sph_center[sph]
+            r = g.sph_radius[sph]
+            p_raw = ray.o + ray.d * pi.t[..., None]
+            n_sph = m.normalize(p_raw - c)
+            p_sph = c + n_sph * r[..., None]
+            theta, phi = m.dir_to_sph(n_sph)
+            uv_sph = jnp.stack([phi * warp.INV_TWOPI, theta * warp.INV_PI], -1)
+            t_sph = pi.t
+        else:
+            p_sph = jnp.zeros((n, 3))
+            n_sph = jnp.zeros((n, 3))
+            uv_sph = jnp.zeros((n, 2))
+            t_sph = pi.t
+
+        t = jnp.where(is_tri, t_tri, t_sph)
+        p = jnp.where(is_tri[..., None], p_tri, p_sph)
+        ng = jnp.where(is_tri[..., None], ng_tri, n_sph)
+        ns = jnp.where(is_tri[..., None], ns_tri, n_sph)
+        uv = jnp.where(is_tri[..., None], uv_surf_tri, uv_sph)
+
+        # orient the geometric normal to the shading normal's hemisphere
+        ng = m.mulsign(ng, m.dot(ng, ns)[..., None])
+        s, tb = m.coordinate_system(ns)
+        wi_world = -ray.d
+        wi = m.frame_to_local(ns, s, tb, wi_world)
+
+        shape_idx = jnp.where(valid, pi.shape_index, -1)
+        safe_shape = jnp.maximum(shape_idx, 0)
+        mat = jnp.where(valid, self.shape_material[safe_shape], -1)
+        emi = jnp.where(valid, self.shape_emitter[safe_shape], -1)
+
+        return SurfaceInteraction(
+            t=jnp.where(valid, t, jnp.inf),
+            p=p, n=ng, sh_n=ns, sh_s=s, sh_t=tb, uv=uv, wi=wi,
+            prim_index=jnp.where(valid, pi.prim_index, -1),
+            shape_index=shape_idx, material_index=mat, emitter_index=emi)
+
+    # ---------------- emitters ----------------
+
+    def eval_emitter(self, si: SurfaceInteraction, active=None):
+        """Radiance emitted at si toward si.wi (Emitter::eval for area
+        emitters, src/emitters/area.cpp: one-sided, front face only)."""
+        em = self.emitters
+        e = jnp.maximum(si.emitter_index, 0)
+        rad = em.radiance[e]
+        tex = em.tex[e]
+        from .texture import eval_spectrum_or_texture
+        rad = eval_spectrum_or_texture(rad, tex, self.textures, si.uv)
+        front = m.cos_theta(si.wi) > 0.0
+        ok = (si.emitter_index >= 0) & front
+        if active is not None:
+            ok = ok & active
+        return jnp.where(ok[..., None], rad, 0.0)
+
+    def eval_environment(self, d):
+        """Radiance of the escape-environment (constant or envmap) for
+        rays that left the scene (Scene::environment()->eval)."""
+        em = self.emitters
+        if em.env_index < 0:
+            return jnp.zeros(d.shape[:-1] + (3,))
+        e = em.env_index
+        rad = jnp.broadcast_to(em.radiance[e], d.shape[:-1] + (3,))
+        # envmap: equirect lookup in emitter-local frame
+        d_local = m.transform_vector(em.to_world_inv[e], d)
+        theta, phi = m.dir_to_sph(m.normalize(d_local))
+        uv = jnp.stack([phi * warp.INV_TWOPI, theta * warp.INV_PI], -1)
+        tex_id = em.tex[e]
+        from .texture import eval_spectrum_or_texture
+        val = eval_spectrum_or_texture(
+            rad, jnp.broadcast_to(tex_id, d.shape[:-1]), self.textures, uv)
+        is_env = E_ENVMAP in em.types_present
+        if is_env:
+            return val * em.radiance[e]  # scale factor for envmap
+        return rad
+
+    def pdf_emitter_hit(self, prev_si_p, si: SurfaceInteraction):
+        """pdf of NEE having sampled the direction prev_si_p -> si.p when
+        si lies on an area emitter; 0 if si is not emissive."""
+        em = self.emitters
+        prim = jnp.maximum(si.prim_index, 0)
+        pdf_area = jnp.where(si.prim_index >= 0, em.prim_pdf_area[prim], 0.0)
+        delta = si.p - prev_si_p
+        dist2 = m.squared_norm(delta)
+        cos = jnp.abs(m.cos_theta(si.wi))
+        return m.safe_div(pdf_area * dist2, cos)
+
+    def pdf_environment_direction(self, d):
+        """NEE pdf for escaping rays hitting the env emitter (MIS)."""
+        em = self.emitters
+        if em.env_index < 0:
+            return jnp.zeros(d.shape[:-1])
+        e = em.env_index
+        # entry pick probability for the env pseudo-prim
+        entry_p = em.ls_distr.pmf_normalized(
+            jnp.full(d.shape[:-1], em.ls_prim.shape[0] - 1, jnp.int32))
+        # NOTE(loader): env/const entry is appended last in the ls table.
+        if E_ENVMAP in em.types_present:
+            d_local = m.transform_vector(em.to_world_inv[e], d)
+            theta, phi = m.dir_to_sph(m.normalize(d_local))
+            uv = jnp.stack([phi * warp.INV_TWOPI, theta * warp.INV_PI], -1)
+            pdf_uv = em.env_warp.pdf(uv)
+            sin_t = jnp.maximum(jnp.sin(theta), 1e-8)
+            return entry_p * pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
+        return entry_p * warp.INV_FOURPI
+
+    def sample_emitter_direction(self, si: SurfaceInteraction, u2,
+                                 test_visibility: bool = True):
+        """NEE: jointly sample (emitter, prim), a point on it, shadow-test
+        (Scene::sample_emitter_direction scene.cpp:295-348).
+
+        Returns (DirectionSample, spec (N,3) = radiance * sampling weight
+        with pdf already divided out).
+        """
+        em = self.emitters
+        g = self.geom
+        n = si.t.shape[0]
+        F = g.faces.shape[0]
+
+        entry, u_re = em.ls_distr.sample_reuse(u2[..., 0])
+        entry_p = em.ls_distr.pmf_normalized(entry)
+        e_id = em.ls_emitter[entry]
+        prim = em.ls_prim[entry]
+        etype = em.e_type[e_id]
+        u_pt = jnp.stack([u_re, u2[..., 1]], -1)
+
+        p = jnp.zeros((n, 3))
+        n_l = jnp.zeros((n, 3))
+        uv_l = jnp.zeros((n, 2))
+        pdf_sa = jnp.zeros((n,))
+        delta = jnp.zeros((n,), bool)
+        spec = jnp.zeros((n, 3))
+        d_out = jnp.zeros((n, 3))
+        dist_out = jnp.full((n,), jnp.inf)
+
+        def finish_surface(p_s, n_s, uv_s, area_pdf, rad, mask):
+            """Convert an area sample to solid angle + accumulate."""
+            nonlocal p, n_l, uv_l, pdf_sa, spec, d_out, dist_out
+            delta_v = p_s - si.p
+            dist = m.norm(delta_v)
+            d = delta_v / jnp.maximum(dist[..., None], 1e-20)
+            cos_l = -m.dot(d, n_s)
+            pdf = m.safe_div(area_pdf * dist * dist, jnp.abs(cos_l))
+            front = cos_l > 0.0
+            val = jnp.where((front & (pdf > 0))[..., None],
+                            rad / jnp.maximum(pdf, 1e-20)[..., None], 0.0)
+            sel = mask
+            p = jnp.where(sel[..., None], p_s, p)
+            n_l = jnp.where(sel[..., None], n_s, n_l)
+            uv_l = jnp.where(sel[..., None], uv_s, uv_l)
+            pdf_sa = jnp.where(sel & front, pdf, pdf_sa)
+            spec = jnp.where(sel[..., None], val, spec)
+            d_out = jnp.where(sel[..., None], d, d_out)
+            dist_out = jnp.where(sel, dist, dist_out)
+
+        types = em.types_present
+
+        if E_AREA in types:
+            mask = (etype == E_AREA) | (etype == E_DIRECTIONALAREA)
+            is_tri = (prim >= 0) & (prim < F)
+            # triangle sample
+            if F > 0:
+                tri = jnp.clip(prim, 0, F - 1)
+                f = g.faces[tri]
+                p0, p1, p2 = g.verts[f[:, 0]], g.verts[f[:, 1]], g.verts[f[:, 2]]
+                b = warp.square_to_uniform_triangle(u_pt)
+                p_t = (1 - b[..., 0:1] - b[..., 1:2]) * p0 + b[..., 0:1] * p1 + b[..., 1:2] * p2
+                n_t = m.normalize(jnp.cross(p1 - p0, p2 - p0))
+                uv_t = b
+            else:
+                p_t = jnp.zeros((n, 3)); n_t = jnp.zeros((n, 3)); uv_t = jnp.zeros((n, 2))
+            # sphere sample (uniform area; reference uses visible-cone —
+            # area sampling is unbiased, slightly noisier; TODO round 2)
+            S = g.sph_center.shape[0]
+            if S > 0:
+                sph = jnp.clip(prim - F, 0, S - 1)
+                dir_s = warp.square_to_uniform_sphere(u_pt)
+                p_s = g.sph_center[sph] + dir_s * g.sph_radius[sph][..., None]
+                n_s = dir_s
+                p_t = jnp.where(is_tri[..., None], p_t, p_s)
+                n_t = jnp.where(is_tri[..., None], n_t, n_s)
+            # prim_pdf_area = p(entry) / prim_area (precomputed by loader)
+            rad = em.radiance[e_id]
+            tex = em.tex[e_id]
+            from .texture import eval_spectrum_or_texture
+            rad = eval_spectrum_or_texture(rad, tex, self.textures, uv_t)
+            finish_surface(p_t, n_t, uv_t, em.prim_pdf_area[jnp.maximum(prim, 0)], rad, mask)
+
+        if E_POINT in types or E_SPOT in types or E_PROJECTOR in types:
+            mask = (etype == E_POINT) | (etype == E_SPOT) | (etype == E_PROJECTOR)
+            p_e = em.to_world[e_id][:, :3, 3]
+            delta_v = p_e - si.p
+            dist = m.norm(delta_v)
+            d = delta_v / jnp.maximum(dist[..., None], 1e-20)
+            inten = em.radiance[e_id]
+            fall = jnp.ones((n,))
+            if E_SPOT in types:
+                # spot falloff (src/emitters/spot.cpp): smooth between
+                # beam_width and cutoff angles
+                d_local = m.transform_vector(em.to_world_inv[e_id], -d)
+                cos_dir = d_local[..., 2] / jnp.maximum(m.norm(d_local), 1e-20)
+                cos_cut = em.params[e_id, 0]
+                cos_beam = em.params[e_id, 1]
+                tfall = m.safe_div(cos_dir - cos_cut, cos_beam - cos_cut)
+                spot_fall = jnp.clip(tfall, 0.0, 1.0)
+                fall = jnp.where(etype == E_SPOT, jnp.where(cos_dir > cos_cut, spot_fall, 0.0), fall)
+            val = inten * (fall / jnp.maximum(dist * dist, 1e-20))[..., None]
+            sel = mask
+            p = jnp.where(sel[..., None], p_e, p)
+            d_out = jnp.where(sel[..., None], d, d_out)
+            dist_out = jnp.where(sel, dist, dist_out)
+            pdf_sa = jnp.where(sel, entry_p, pdf_sa)
+            delta = delta | sel
+            spec = jnp.where(sel[..., None], val / jnp.maximum(entry_p, 1e-20)[..., None], spec)
+
+        if E_DIRECTIONAL in types:
+            mask = etype == E_DIRECTIONAL
+            d_w = m.transform_vector(em.to_world[e_id], jnp.array([0.0, 0.0, 1.0]))
+            d = -m.normalize(d_w)
+            diam = m.norm(self.bbox_hi - self.bbox_lo) + 1.0
+            sel = mask
+            p = jnp.where(sel[..., None], si.p + d * diam, p)
+            d_out = jnp.where(sel[..., None], d, d_out)
+            dist_out = jnp.where(sel, diam, dist_out)
+            pdf_sa = jnp.where(sel, entry_p, pdf_sa)
+            delta = delta | sel
+            spec = jnp.where(sel[..., None],
+                             em.radiance[e_id] / jnp.maximum(entry_p, 1e-20)[..., None], spec)
+
+        if E_CONSTANT in types or E_ENVMAP in types:
+            mask = (etype == E_CONSTANT) | (etype == E_ENVMAP)
+            if E_ENVMAP in types:
+                uv_s, pdf_uv = em.env_warp.sample(u_pt)
+                theta = uv_s[..., 1] * jnp.pi
+                phi = uv_s[..., 0] * 2.0 * jnp.pi
+                d_local = m.sph_to_dir(theta, phi)
+                d = m.normalize(m.transform_vector(em.to_world[e_id], d_local))
+                sin_t = jnp.maximum(jnp.sin(theta), 1e-8)
+                pdf_dir = pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
+                rad = self.textures.eval_bilinear(jnp.maximum(em.tex[e_id], 0), uv_s) \
+                    * em.radiance[e_id]
+            else:
+                d = warp.square_to_uniform_sphere(u_pt)
+                pdf_dir = jnp.full((n,), warp.INV_FOURPI)
+                rad = jnp.broadcast_to(em.radiance[e_id], (n, 3))
+            diam = m.norm(self.bbox_hi - self.bbox_lo) + 1.0
+            pdf = entry_p * pdf_dir
+            sel = mask
+            p = jnp.where(sel[..., None], si.p + d * diam, p)
+            d_out = jnp.where(sel[..., None], d, d_out)
+            dist_out = jnp.where(sel, diam, dist_out)
+            pdf_sa = jnp.where(sel, pdf, pdf_sa)
+            spec = jnp.where(sel[..., None],
+                             m.safe_div(rad, jnp.maximum(pdf, 1e-20)[..., None]), spec)
+
+        # visibility
+        if test_visibility:
+            shadow_ray = si.spawn_ray_to(p)
+            occluded = self.ray_test(shadow_ray)
+            vis = ~occluded & (pdf_sa > 0)
+            spec = jnp.where(vis[..., None], spec, 0.0)
+            pdf_sa = jnp.where(vis, pdf_sa, 0.0)
+
+        ds = DirectionSample(p=p, n=n_l, uv=uv_l, d=d_out, dist=dist_out,
+                             pdf=pdf_sa, delta=delta, emitter_index=e_id)
+        return ds, spec
