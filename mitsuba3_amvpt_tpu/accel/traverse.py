@@ -79,11 +79,12 @@ def ray_aabb(o, inv_d, lo, hi, maxt):
 # Brute-force sweep (scan over primitive tiles)
 # ---------------------------------------------------------------------------
 
-def intersect_brute(geom, o, d, maxt, tile: int = 512):
+def intersect_brute(geom, o, d, maxt, tile: int = 128):
     """All-pairs sweep. geom is a GeometryArrays (see render/scene.py).
 
-    Primitive tables are padded to a multiple of `tile` with degenerate
-    prims; a scan walks the tiles carrying the best hit.
+    On TPU the triangle sweep runs as a Pallas kernel with the soup
+    resident in VMEM (ops/isect.py); elsewhere (CPU tests) a lax.scan
+    over primitive tiles carries the best hit.
     """
     tri_p0, tri_p1, tri_p2 = geom.tri_p0, geom.tri_p1, geom.tri_p2
     F = tri_p0.shape[0]
@@ -92,7 +93,18 @@ def intersect_brute(geom, o, d, maxt, tile: int = 512):
     best_t = jnp.minimum(jnp.full((n,), jnp.inf), maxt)
     best = (best_t, jnp.zeros((n, 2)), jnp.full((n,), -1, jnp.int32))
 
-    if F > 0:
+    use_pallas = (jax.default_backend() == "tpu"
+                  and 0 < F and F * 36 <= (8 << 20))
+    if use_pallas:
+        from ..ops.isect import pack_tri_soa, ray_triangles_pallas
+        soa = pack_tri_soa(tri_p0, tri_p1, tri_p2)
+        t, u, v, pid = ray_triangles_pallas(o, d, jnp.minimum(maxt, best_t),
+                                            soa)
+        upd = jnp.isfinite(t)
+        best = (jnp.where(upd, t, best[0]),
+                jnp.where(upd[:, None], jnp.stack([u, v], -1), best[1]),
+                jnp.where(upd, pid, best[2]))
+    elif F > 0:
         pad = (-F) % tile
         p0 = jnp.pad(tri_p0, ((0, pad), (0, 0)))
         p1 = jnp.pad(tri_p1, ((0, pad), (0, 0)))

@@ -34,7 +34,8 @@ import jax.numpy as jnp
 from ..core import math as m
 from ..core.rng import Sampler
 from ..render.bsdfs import bsdf_eval_pdf, bsdf_flags_delta, bsdf_sample
-from ..render.film import film_develop, film_prepare, film_put
+from ..render.film import (film_develop, film_prepare, film_put,
+                           film_put_coalesced)
 from ..render.integrators.api import sample_rays
 from ..render.integrators import path as path_mod
 from ..render.records import Ray
@@ -66,7 +67,8 @@ def _primal(scene, seed, spp_pass, max_depth, rr_depth):
     L, valid, aovs, sampler = path_mod.sample(
         scene, ray, sampler, max_depth=max_depth, rr_depth=rr_depth)
     acc = film_prepare(scene.film)
-    return film_put(scene.film, acc, pos, L * weight)
+    jitter = pos - jnp.floor(pos)
+    return film_put_coalesced(scene.film, acc, jitter, L * weight, spp_pass)
 
 
 def _prb_fwd(scene, seed, spp_pass, max_depth, rr_depth):
@@ -82,10 +84,13 @@ def _prb_bwd(spp_pass, max_depth, rr_depth, res, g_acc):
     ray, weight, pos, view, sampler = sample_rays(scene, sampler)
 
     # per-sample adjoint dL: transpose of the film splat at these
-    # positions (common.py:216-223 — differentiating put+develop)
+    # positions (common.py:216-223 — differentiating put+develop);
+    # must be the SAME splat as the primal (coalesced)
+    jitter = pos - jnp.floor(pos)
+
     def splat(values):
         acc0 = film_prepare(scene.film)
-        return film_put(scene.film, acc0, pos, values)
+        return film_put_coalesced(scene.film, acc0, jitter, values, spp_pass)
 
     _, splat_vjp = jax.vjp(splat, jnp.zeros((n, 3)))
     (dL,) = splat_vjp(g_acc)

@@ -125,6 +125,53 @@ def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None):
     return acc
 
 
+def film_put_coalesced(cfg: FilmConfig, acc, jitter, values, spp: int,
+                       weight=None, active=None):
+    """Scatter-free splat for pixel-ordered wavefronts.
+
+    TPU equivalent of ImageBlock's *coalesced* mode (imageblock.h:91-107):
+    when lane i maps to pixel i//spp with sub-pixel offset ``jitter``,
+    every filter tap becomes a dense per-pixel reduction followed by a
+    statically-shifted add — no scatters touch HBM.  The footprint is the
+    conservative (2R+1)^2 pixel neighbourhood, exactly like the
+    reference's lockstep traversal.
+
+    jitter: (N, 2) in [0, 1)^2; values: (N, C); N == H*W*spp.
+    """
+    H, W, CH = acc.shape
+    C = CH - 1
+    n = values.shape[0]
+    if weight is None:
+        weight = jnp.ones((n,), acc.dtype)
+    if active is not None:
+        weight = jnp.where(active, weight, 0.0)
+    values = values * weight[..., None]
+
+    R = int(cfg.radius + 0.5 - 1e-6)  # taps offsets -R..R
+    jx = jitter[..., 0]
+    jy = jitter[..., 1]
+
+    def tap_weight_x(ox):
+        return filter_eval(cfg.ftype, cfg.radius, ox + 0.5 - jx)
+
+    def tap_weight_y(oy):
+        return filter_eval(cfg.ftype, cfg.radius, oy + 0.5 - jy)
+
+    for oy in range(-R, R + 1):
+        wy = tap_weight_y(oy)
+        for ox in range(-R, R + 1):
+            w = tap_weight_x(ox) * wy                      # (N,)
+            data = jnp.concatenate(
+                [values * w[..., None], (weight * w)[..., None]], -1)
+            img = data.reshape(H, W, spp, C + 1).sum(2)    # dense reduce
+            ys0, ys1 = max(oy, 0), H + min(oy, 0)
+            xs0, xs1 = max(ox, 0), W + min(ox, 0)
+            ts0, ts1 = max(-oy, 0), H + min(-oy, 0)
+            us0, us1 = max(-ox, 0), W + min(-ox, 0)
+            acc = acc.at[ys0:ys1, xs0:xs1].add(img[ts0:ts1, us0:us1])
+    return acc
+
+
 def film_develop(acc, raw: bool = False):
     """Weight division (HDRFilm::develop hdrfilm.cpp:304-400):
     values / select(weight == 0, 1, weight).  Differentiable."""

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ...core.rng import Sampler, sample_tea_32
-from ..film import film_develop, film_prepare, film_put
+from ..film import film_develop, film_prepare, film_put, film_put_coalesced
 from ..records import Ray
 from . import path as path_mod
 
@@ -67,7 +67,9 @@ def render_pass(scene, acc, seed, spp_pass: int, integrator: str = "path",
     sample_fn = _INTEGRATORS[integrator]
     L, valid, aovs, sampler = sample_fn(scene, ray, sampler,
                                         max_depth=max_depth, rr_depth=rr_depth)
-    return film_put(scene.film, acc, pos, L * weight)
+    # lanes are pixel-major (spp consecutive) -> scatter-free splat
+    jitter = pos - jnp.floor(pos)
+    return film_put_coalesced(scene.film, acc, jitter, L * weight, spp_pass)
 
 
 def render(scene, spp: int = 16, seed: int = 0, integrator: str = "path",
