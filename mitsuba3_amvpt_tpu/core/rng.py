@@ -52,45 +52,134 @@ def bits_to_float01(bits):
 class Sampler:
     """Stateless-per-draw wavefront sampler (one RNG stream per lane).
 
-    Replaces IndependentSampler (src/samplers/independent.cpp) +
-    Sampler::seed (src/render/sampler.cpp:35).  ``key`` is a per-lane
-    uint32 derived from (seed, lane); ``dim`` counts dimensions consumed
-    so far.  next_1d/next_2d return (value, new_sampler) — carried
-    through lax.scan bodies so replay sees identical values.
+    Replaces the sampler plugin family (src/samplers/{independent,
+    stratified,multijitter,ldsampler}.cpp) + Sampler::seed
+    (src/render/sampler.cpp:35).  ``key`` is a per-lane uint32 derived
+    from (seed, lane); ``dim`` counts dimensions consumed so far.
+    next_1d/next_2d return (value, new_sampler) — carried through
+    lax.scan bodies so the PRB replay sees identical values.
+
+    ``mode`` selects the sample pattern:
+      * independent — pure counter-based TEA (default),
+      * stratified  — per-(pixel, dim) permuted 1D strata / sqrt-grid 2D
+        strata with jitter (stratified.cpp),
+      * multijitter — correlated multi-jittered 2D via Kensler
+        permutations (multijitter.cpp),
+      * ldsampler   — scrambled (0,2) sequence: van der Corput x Sobol'
+        (ldsampler.cpp).
+    For the non-independent modes, seed with ``pixel`` + ``sample`` ids
+    (Sampler.seed_stratified); the stratified pattern applies to every
+    requested dimension, keyed per (pixel, dim).
     """
 
-    key: jnp.ndarray   # (N,) uint32
+    key: jnp.ndarray   # (N,) uint32 — per-lane (or per-pixel) stream key
     dim: jnp.ndarray   # scalar int32 (traced)
+    sample: jnp.ndarray = None   # (N,) uint32 sample-in-pixel index
+    spp: int = struct.field(pytree_node=False, default=1)
+    mode: str = struct.field(pytree_node=False, default="independent")
 
     @staticmethod
     def seed(seed, wavefront_size: int = None, lane: jnp.ndarray = None) -> "Sampler":
-        """Seed one stream per lane (reference sampler.cpp:35-43).
-
-        Either pass ``wavefront_size`` (lanes = arange) or explicit
-        per-lane ids (for adaptive refill wavefronts)."""
+        """Seed one independent stream per lane (sampler.cpp:35-43)."""
         if lane is None:
             lane = jnp.arange(wavefront_size, dtype=_U32)
         else:
             lane = jnp.asarray(lane, _U32)
         v0, _ = sample_tea_32(jnp.asarray(seed, _U32), lane)
-        return Sampler(key=v0, dim=jnp.asarray(0, jnp.int32))
+        return Sampler(key=v0, dim=jnp.asarray(0, jnp.int32),
+                       sample=jnp.zeros_like(lane))
 
-    def _bits(self, offset):
+    @staticmethod
+    def seed_stratified(seed, pixel, sample, spp: int,
+                        mode: str = "stratified") -> "Sampler":
+        """Seed a stratified-family sampler: key per pixel, sample index
+        within the pixel distinguishes strata."""
+        pk, _ = sample_tea_32(jnp.asarray(seed, _U32),
+                              jnp.asarray(pixel, _U32))
+        return Sampler(key=pk, dim=jnp.asarray(0, jnp.int32),
+                       sample=jnp.asarray(sample, _U32), spp=spp, mode=mode)
+
+    def _bits(self, offset, salt=0):
         # 6 TEA rounds: <0.01 inter-dimension correlation at 5e4 lanes
         # (4 rounds showed 8% adjacent-dim correlation)
-        return sample_tea_32(self.key, jnp.asarray(self.dim + offset, _U32), rounds=6)[0]
+        d = jnp.asarray(self.dim + offset, _U32)
+        if self.mode == "independent":
+            return sample_tea_32(self.key, d, rounds=6)[0]
+        # per-(pixel, dim) decorrelated stream + per-sample jitter
+        pd_key, _ = sample_tea_32(self.key, d + _U32(salt), rounds=4)
+        return sample_tea_32(pd_key, self.sample, rounds=4)[0]
+
+    def _dim_key(self, offset):
+        return sample_tea_32(self.key, jnp.asarray(self.dim + offset, _U32),
+                             rounds=4)[0]
 
     def next_1d(self):
-        u = bits_to_float01(self._bits(0))
+        if self.mode == "independent":
+            u = bits_to_float01(self._bits(0))
+        elif self.mode == "ldsampler":
+            from . import qmc
+            # (0,2)-sequence point + per-(pixel,dim) Cranley-Patterson
+            # rotation: keeps stratification, decorrelates pixels/dims
+            k = self._dim_key(0)
+            u = qmc.radical_inverse_2(self.sample)
+            u = jnp.mod(u + bits_to_float01(k), 1.0)
+        else:  # stratified / multijitter 1D: permuted stratum + jitter
+            from . import qmc
+            k = self._dim_key(0)
+            stratum = qmc.kensler_permute(self.sample, self.spp, k)
+            jit = bits_to_float01(self._bits(0, salt=77))
+            u = (stratum.astype(jnp.float32) + jit) / self.spp
         return u, self.replace(dim=self.dim + 1)
 
     def next_2d(self):
-        b0 = self._bits(0)
-        b1 = self._bits(1)
-        u = jnp.stack([bits_to_float01(b0), bits_to_float01(b1)], axis=-1)
+        if self.mode == "independent":
+            b0 = self._bits(0)
+            b1 = self._bits(1)
+            u = jnp.stack([bits_to_float01(b0), bits_to_float01(b1)], -1)
+        elif self.mode == "ldsampler":
+            from . import qmc
+            k0 = self._dim_key(0)
+            k1 = self._dim_key(1)
+            u0 = jnp.mod(qmc.radical_inverse_2(self.sample)
+                         + bits_to_float01(k0), 1.0)
+            u1 = jnp.mod(qmc.sobol_2(self.sample)
+                         + bits_to_float01(k1), 1.0)
+            u = jnp.stack([u0, u1], -1)
+        elif self.mode == "multijitter":
+            from . import qmc
+            # correlated multi-jitter (Kensler 2013): m x n grid
+            import math
+            m_res = int(math.sqrt(self.spp))
+            n_res = (self.spp + m_res - 1) // m_res
+            k = self._dim_key(0)
+            s = qmc.kensler_permute(self.sample, self.spp, k * _U32(0x51633E2D))
+            sx = qmc.kensler_permute(s % m_res, m_res, k * _U32(0x68BC21EB))
+            sy = qmc.kensler_permute(s // m_res, n_res, k * _U32(0x02E5BE93))
+            jx = bits_to_float01(self._bits(0, salt=11))
+            jy = bits_to_float01(self._bits(1, salt=13))
+            x = (s % m_res + (sy + jx) / n_res) / m_res
+            y = (s // m_res + (sx + jy) / m_res) / n_res
+            u = jnp.stack([x, y], -1)
+        else:  # stratified sqrt-grid
+            from . import qmc
+            import math
+            m_res = int(math.sqrt(self.spp))
+            if m_res * m_res == self.spp:
+                k = self._dim_key(0)
+                s = qmc.kensler_permute(self.sample, self.spp, k)
+                jx = bits_to_float01(self._bits(0, salt=11))
+                jy = bits_to_float01(self._bits(1, salt=13))
+                x = (s % m_res + jx) / m_res
+                y = (s // m_res + jy) / m_res
+                u = jnp.stack([x, y], -1)
+            else:  # non-square spp: two independent 1D strata
+                u0, s1 = self.next_1d()
+                u1, _ = s1.next_1d()
+                u = jnp.stack([u0, u1], -1)
         return u, self.replace(dim=self.dim + 2)
 
     def fork(self, salt) -> "Sampler":
         """Decorrelated child sampler (reference Sampler::fork)."""
         v0, _ = sample_tea_32(self.key, jnp.asarray(salt, _U32))
-        return Sampler(key=v0, dim=jnp.asarray(0, jnp.int32))
+        return Sampler(key=v0, dim=jnp.asarray(0, jnp.int32),
+                       sample=self.sample)

@@ -145,6 +145,11 @@ class _Builder:
         self.sph_shape = []
         self.shape_mat = []
         self.shape_em = []
+        self.shape_interior = []
+        self.shape_exterior = []
+        self.media = []          # list of medium row dicts
+        self.med_cache = {}
+        self.camera_medium = -1
         self.n_shapes = 0
         self.materials = []      # list of dict rows
         self.mat_cache = {}
@@ -278,6 +283,37 @@ class _Builder:
                     eta=eta, spec_refl=spec_refl, spec_trans=spec_trans,
                     twosided=twosided, fdr_int=fdr, spec_weight=sw)
 
+    # ---------------- media ----------------
+
+    def add_medium(self, spec) -> int:
+        """Homogeneous medium row (src/media/homogeneous.cpp); returns id."""
+        if spec is None:
+            return -1
+        key = id(spec)
+        if key in self.med_cache:
+            return self.med_cache[key]
+        t = spec.get("type", "homogeneous")
+        if t not in ("homogeneous", "heterogeneous"):
+            raise ValueError(f"unsupported medium type {t!r}")
+        sigma_t = _spectrum3(spec.get("sigma_t", 1.0))
+        if "sigma_s" in spec or "sigma_a" in spec:
+            ss = _spectrum3(spec.get("sigma_s", 0.0))
+            sa = _spectrum3(spec.get("sigma_a", 0.0))
+            sigma_t = ss + sa
+            albedo = ss / np.maximum(sigma_t, 1e-20)
+        else:
+            albedo = _spectrum3(spec.get("albedo", 0.75))
+        phase = spec.get("phase", {"type": "isotropic"})
+        from ..render.medium import P_HG, P_ISOTROPIC
+        ptype = P_HG if phase.get("type") == "hg" else P_ISOTROPIC
+        self.media.append(dict(
+            sigma_t=sigma_t, albedo=albedo, phase_type=ptype,
+            g=float(phase.get("g", 0.0)),
+            scale=float(spec.get("scale", 1.0))))
+        idx = len(self.media) - 1
+        self.med_cache[key] = idx
+        return idx
+
     # ---------------- shapes ----------------
 
     def add_shape(self, spec):
@@ -296,6 +332,8 @@ class _Builder:
                 None)
         mat_idx = self.add_bsdf(bsdf_spec)
         self.shape_mat.append(mat_idx)
+        self.shape_interior.append(self.add_medium(spec.get("interior")))
+        self.shape_exterior.append(self.add_medium(spec.get("exterior")))
 
         em_spec = spec.get("emitter")
         if em_spec is None:
@@ -448,6 +486,10 @@ class _Builder:
                     fov = np.rad2deg(2 * np.arctan(np.tan(np.deg2rad(fov) / 2) * w / h))
             return fov
 
+        if "medium" in spec:
+            # camera immersed in a participating medium (sensor.h medium ref)
+            self.camera_medium = self.add_medium(spec["medium"])
+
         if t in ("perspective", "thinlens", "orthographic"):
             tw = _to_world(spec.get("to_world"))
             ctype = {"perspective": sensor_mod.S_PERSPECTIVE,
@@ -540,6 +582,21 @@ class _Builder:
         emitters = self._emitter_table(verts, faces, tri_shape, sphc, sphr,
                                        sphs, n_prims)
 
+        from ..render.medium import MediumTable
+        if self.media:
+            med = MediumTable(
+                sigma_t=jnp.asarray(np.stack([r["sigma_t"] for r in self.media]),
+                                    jnp.float32),
+                albedo=jnp.asarray(np.stack([r["albedo"] for r in self.media]),
+                                   jnp.float32),
+                phase_type=jnp.asarray([r["phase_type"] for r in self.media],
+                                       jnp.int32),
+                g=jnp.asarray([r["g"] for r in self.media], jnp.float32),
+                scale=jnp.asarray([r["scale"] for r in self.media],
+                                  jnp.float32))
+        else:
+            med = MediumTable.empty()
+
         return Scene(
             geom=geom,
             shape_material=jnp.asarray(self.shape_mat, jnp.int32).reshape(-1),
@@ -547,7 +604,14 @@ class _Builder:
             materials=materials, textures=textures, emitters=emitters,
             sensor=self.sensor, film=self.film,
             bbox_lo=jnp.asarray(bbox_lo, jnp.float32),
-            bbox_hi=jnp.asarray(bbox_hi, jnp.float32))
+            bbox_hi=jnp.asarray(bbox_hi, jnp.float32),
+            media=med,
+            shape_interior=jnp.asarray(self.shape_interior,
+                                       jnp.int32).reshape(-1),
+            shape_exterior=jnp.asarray(self.shape_exterior,
+                                       jnp.int32).reshape(-1),
+            camera_medium=self.camera_medium,
+            has_media=len(self.media) > 0)
 
     def _material_table(self):
         rows = self.materials

@@ -80,14 +80,18 @@ def film_prepare(cfg: FilmConfig, channels: int = 3):
     return jnp.zeros((cfg.height, cfg.width, channels + 1), jnp.float32)
 
 
-def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None):
+def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None,
+             normalize: bool = False):
     """Splat samples into the accumulator (ImageBlock::put
     imageblock.cpp:126 scatter_reduce(Add)).
 
     pos: (N, 2) continuous pixel coordinates (x, y) in [0, W) x [0, H).
     values: (N, C).  weight: per-sample multiplier for the weight channel
     (1 by default; AMVPT adaptive refill uses 1/(n_adapt+1),
-    mvpath_multi.h:52-58).
+    mvpath_multi.h:52-58).  normalize: divide each sample's filter taps
+    by their sum (ImageBlock set_normalize(true) — required by additive
+    splatting like the particle tracer, where develop() does NOT divide
+    by the weight channel).
     """
     H, W, _ = acc.shape
     n = pos.shape[0]
@@ -108,6 +112,8 @@ def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None):
     base_x = jnp.floor(pos[..., 0] - 0.5).astype(jnp.int32)
     base_y = jnp.floor(pos[..., 1] - 0.5).astype(jnp.int32)
     K = 2 * cfg.n_taps
+    taps = []
+    wsum = jnp.zeros((n,), acc.dtype)
     for dy in range(K):
         for dx in range(K):
             px = base_x + (dx - cfg.n_taps + 1)
@@ -116,12 +122,17 @@ def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None):
                              px.astype(acc.dtype) + 0.5 - pos[..., 0])
             wy = filter_eval(cfg.ftype, cfg.radius,
                              py.astype(acc.dtype) + 0.5 - pos[..., 1])
-            w = (wx * wy)[..., None]
-            inb = (px >= 0) & (px < W) & (py >= 0) & (py < H)
-            px_c = jnp.clip(px, 0, W - 1)
-            py_c = jnp.clip(py, 0, H - 1)
-            acc = acc.at[py_c, px_c].add(
-                jnp.where(inb[..., None], data * w, 0.0))
+            w = wx * wy
+            taps.append((px, py, w))
+            wsum = wsum + w
+    inv = (1.0 / jnp.maximum(wsum, 1e-12)) if normalize \
+        else jnp.ones_like(wsum)
+    for (px, py, w) in taps:
+        inb = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        px_c = jnp.clip(px, 0, W - 1)
+        py_c = jnp.clip(py, 0, H - 1)
+        acc = acc.at[py_c, px_c].add(
+            jnp.where(inb[..., None], data * (w * inv)[..., None], 0.0))
     return acc
 
 

@@ -55,14 +55,25 @@ def sample_rays(scene, sampler: Sampler):
 
 
 @functools.partial(jax.jit, static_argnames=("integrator", "max_depth",
-                                             "rr_depth", "spp_pass"),
+                                             "rr_depth", "spp_pass",
+                                             "sampler_mode", "spp_total"),
                    donate_argnames=("acc",))
 def render_pass(scene, acc, seed, spp_pass: int, integrator: str = "path",
-                max_depth: int = 6, rr_depth: int = 5):
+                max_depth: int = 6, rr_depth: int = 5,
+                sampler_mode: str = "independent", sample_base=0,
+                spp_total: int = None):
     """One pass of spp_pass samples/pixel, accumulated into `acc`."""
     W, H = scene.sensor.film_resolution
     n = W * H * spp_pass
-    sampler = Sampler.seed(seed, n)
+    if sampler_mode == "independent":
+        sampler = Sampler.seed(seed, n)
+    else:
+        idx = jnp.arange(n)
+        pixel = idx // spp_pass
+        sample = idx % spp_pass + sample_base
+        sampler = Sampler.seed_stratified(seed, pixel, sample,
+                                          spp_total or spp_pass,
+                                          mode=sampler_mode)
     ray, weight, pos, view, sampler = sample_rays(scene, sampler)
     sample_fn = _INTEGRATORS[integrator]
     L, valid, aovs, sampler = sample_fn(scene, ray, sampler,
@@ -74,12 +85,14 @@ def render_pass(scene, acc, seed, spp_pass: int, integrator: str = "path",
 
 def render(scene, spp: int = 16, seed: int = 0, integrator: str = "path",
            max_depth: int = 6, rr_depth: int = 5, spp_per_pass: int = None,
-           raw: bool = False):
+           sampler: str = "independent", raw: bool = False):
     """Full render -> (H, W, 3) image (mi.render equivalent, primal).
 
     Pass seeds follow the reference discipline: per-pass seed =
     spp_per_pass * i + seed (mvpath.cpp:227), decorrelated by TEA inside
-    Sampler.seed.
+    Sampler.seed.  ``sampler`` selects the sample pattern
+    (independent / stratified / multijitter / ldsampler); stratified
+    modes seed per pixel with strata spanning the full spp.
     """
     W, H = scene.sensor.film_resolution
     if spp_per_pass is None:
@@ -90,8 +103,11 @@ def render(scene, spp: int = 16, seed: int = 0, integrator: str = "path",
     i = 0
     while done < spp:
         sp = min(spp_per_pass, spp - done)
-        acc = render_pass(scene, acc, jnp.uint32(seed + sp * i + done),
-                          sp, integrator, max_depth, rr_depth)
+        pass_seed = jnp.uint32(seed if sampler != "independent"
+                               else seed + sp * i + done)
+        acc = render_pass(scene, acc, pass_seed, sp, integrator, max_depth,
+                          rr_depth, sampler_mode=sampler,
+                          sample_base=jnp.uint32(done), spp_total=spp)
         done += sp
         i += 1
     return acc if raw else film_develop(acc)

@@ -3,36 +3,45 @@ reuse (the fork's centerpiece).
 
 Reimplements the `mvpath` plugin (src/integrators/mvpath.cpp 281 LoC +
 mvpath.h 340 + mvpath_multi.h 692 + mvpath_single.h 281; Fraboni et al.
-2019 "Adaptive multi-view path tracing") as a TPU wavefront:
+2019 "Adaptive multi-view path tracing") as a TPU wavefront.  The
+estimator follows the reference *exactly*:
 
-  * N cameras render one quilt film; each lane's *primary* camera comes
-    from its quilt tile (grid.cpp:269-297 sample_ray_idx),
-  * views are partitioned into reuse groups of size S (divisor-of-N
-    heuristic preferring >=8, mvpath.cpp:192-217); within a group the
-    cameras a lane reuses are the rotation ``group_base + (local+s)%S``
-    (mvpath_multi.h:30-38),
-  * the primary hit is reprojected into every group camera via the
-    fork's ``sensor.sample_surface`` (visibility = frustum + facing +
-    shadow ray, mvpath.h:243-256); reuse eligibility requires a smooth,
-    non-emitting BSDF (mvpath_multi.h:202-209),
-  * camera selection is stochastic with probability
-    ``pdf_Mat * pdf_J``: the GGX closed-form material-similarity pdf
-    (tv_pdf_fast, mvpath.h:259-270; diffuse forces pdf_Mat=1) times the
-    Jacobian probability ``min(J, 1/J)``, ``J = Jp_k / Jp_l``
-    (mvpath_multi.h:417-425),
-  * per-view MIS weights ``w_k = p(l->k) / sum_j p(j->k)`` with the
-    pairwise simplification ``p(j->k) = min((Jp_j/Jp_k)^2, 1)``
-    (mvpath_multi.h:466-523, A.8),
-  * one shared NEE sample and ONE shared suffix path serve all views;
-    the shared continuation direction is reservoir-replaced with prob
-    1/n_indir among same-lobe candidates (mvpath_multi.h:445-459), and
-    indirect contributions divide by the *mixture* pdf over selected
-    views (mvpath_multi.h:275-307),
-  * adaptive refill: pixels whose reuse failed (n_indir <= 1 while
-    eligible) receive ``n_adapt`` extra independent samples, all
-    weighted 1/(n_adapt+1) (mvpath_multi.h:79-115).  On TPU this is a
-    masked second wavefront (static shapes) rather than a
-    compress/gather — SURVEY.md §7 "dynamic wavefronts" stance.
+  * N cameras render one quilt film; each lane's primary camera comes
+    from its quilt tile; the reuse cameras are the rotation
+    ``group_base + (local+s) % S`` (mvpath_multi.h:30-38) with the
+    divisor-of-N group-size heuristic (mvpath.cpp:192-217),
+  * reprojection via the fork's ``sensor.sample_surface``; visibility =
+    frustum + same-face-as-primary + Jp>0 + shadow ray
+    (mvpath.h:243-256 sensors_visible),
+  * stochastic camera selection with probability pdf_Sel =
+    pdf_Mat * pdf_J, pdf_J = min(J, 1/J), J = Jp_k/Jp_l; pdf_Mat is the
+    GGX closed-form TV-distance proxy (mvpath.h:259-270 tv_pdf_fast),
+    forced to 1 for diffuse lobes (mvpath_multi.h:397,416),
+  * per-view MIS weights (mvpath_multi.h:466-523 mis_weights):
+    ``w_k = p(l->k) / pdfSum_k`` with
+      p(l->k) = p(l) * J * pdf_Sel            (k>0; = p(l) for k=0)
+      pdfSum_k = p(l->k) + [k>0] p(k)
+               + sum_{j>=1, j!=k, accepted_j} p(j) * min((Jp_j/Jp_k)^2,1)
+                                              * pdf_Mat(j->k)
+    where p(.) are the *film importance pdfs* from sample_surface.
+    w_k multiplies BOTH the splatted value and the film weight channel
+    (render_multisample block->put(..., w*result, ..., w) — a weighted-
+    average estimator, NOT a plain sum),
+  * one shared NEE sample: per-view contribution
+    ``bsdf_val_k(wo_nee) * em_weight * mis(ds.pdf, direct_pdf)`` with
+    the *mixture* direct pdf averaged over direct-valid views
+    (mvpath_multi.h:248-267),
+  * one shared suffix direction, reservoir-replaced among same-lobe
+    per-view candidates drawn with the SAME (rand_1, rand_2)
+    (mvpath_multi.h:445-459); indirect contribution
+    ``bsdf_val_k(wo_shared) / pdf_mix * L_suffix`` with the mixture pdf
+    over indirect-valid views (mvpath_multi.h:275-307); the suffix's
+    first-vertex MIS uses the mixture pdf,
+  * adaptive refill: pixels with ``p_hit & !null & n_indir <= 1`` get
+    n_adapt extra independent samples; those pixels' primary samples and
+    the refills are weighted 1/(n_adapt+1) (mvpath_multi.h:52-58,79-115).
+    On TPU this is a masked second wavefront (static shapes) rather than
+    a compress/gather (SURVEY.md §7 stance).
 """
 
 from __future__ import annotations
@@ -46,7 +55,7 @@ from ...core import math as m
 from ...core.rng import Sampler
 from ..bsdfs import (bsdf_eval_pdf, bsdf_flags_delta, bsdf_sample,
                      eval_roughness)
-from ..film import film_develop, film_prepare, film_put
+from ..film import film_develop, film_prepare, film_put, film_put_coalesced
 from ..records import Ray
 from . import path as path_mod
 
@@ -62,25 +71,28 @@ def reuse_group_size(n_views: int, requested: int = 0) -> int:
     return min(ge8) if ge8 else max(divisors)
 
 
-def tv_pdf_fast(rough_l, rough_k, cos_l, cos_k):
-    """GGX closed-form material-similarity probability (mvpath.h:259-270):
-    replaces the pdf-ratio TV distance with half-vector cos^2 terms.
+def _pdfM(wi):
+    """sample.pdfM = cos^2 of the half vector of (wi, reflect(wi))
+    (mvpath_multi.h:396-397)."""
+    wo_r = m.reflect(wi)
+    h = m.normalize(wi + wo_r)
+    return m.cos_theta(h) ** 2
 
-    rough_*: scalar roughness at the two views' incident directions;
-    cos_*: |cos| of the incident directions at the shading point.
-    Diffuse (roughness ~1) forces pdf 1 (mvpath_multi.h:397,416)."""
-    a2 = jnp.maximum(rough_l * rough_l, 1e-6)
-    # ratio of GGX NDF lobes evaluated at each view's half angle proxy
-    t_l = cos_l * cos_l * (a2 - 1.0) + 1.0
-    t_k = cos_k * cos_k * (a2 - 1.0) + 1.0
-    q = jnp.minimum(t_l * t_l, t_k * t_k) / jnp.maximum(
-        jnp.maximum(t_l * t_l, t_k * t_k), 1e-12)
-    # piecewise-polynomial approx of q^(1/alpha) (mvpath.h:276-293)
-    alpha = jnp.clip(rough_l, 1e-3, 1.0)
-    lin = jnp.maximum(0.0, 1.0 + (q - 1.0) / jnp.sqrt(alpha)) ** 2
-    p = m.lerp(lin, q, alpha)
-    diffuse_like = rough_l > 0.99
-    return jnp.where(diffuse_like, 1.0, jnp.clip(p, 0.0, 1.0))
+
+def tv_pdf_fast(wo_r_l, wi_k, pdfM_k, alpha, diffuse):
+    """GGX closed-form material-similarity probability
+    (mvpath.h:259-270 tv_pdf_fast)."""
+    alpha = jnp.maximum(alpha, 1e-3)
+    sqr_a = alpha * alpha - 1.0
+    rsqrt_a = m.safe_rsqrt(alpha)
+    p_l = m.cos_theta(m.normalize(wi_k + wo_r_l)) ** 2
+    N = sqr_a * jnp.maximum(pdfM_k, p_l) + 1.0
+    D = sqr_a * jnp.minimum(pdfM_k, p_l) + 1.0
+    q = (N * m.safe_div(1.0, D)) ** 2
+    p = (q - 1.0) * rsqrt_a + 1.0
+    p = jnp.maximum(p, 0.0) ** 2
+    p = m.lerp(p, q, alpha)
+    return jnp.where(diffuse, 1.0, p)
 
 
 @functools.partial(jax.jit,
@@ -92,10 +104,11 @@ def mvpath_pass(scene, acc, seed, spp_pass: int, max_depth: int = 6,
                 rr_depth: int = 5, reuse_count: int = 0,
                 sa_reuse: bool = True, sa_mis: bool = True,
                 n_adapt: int = 0):
-    """One multi-view pass over the full quilt wavefront."""
+    """One multi-view pass over the full quilt wavefront
+    (render_multisample, mvpath_multi.h:8-117)."""
     sensor = scene.sensor
     N = sensor.n_sensors
-    S = reuse_group_size(N, reuse_count) if sa_reuse else 1
+    S = reuse_group_size(N, reuse_count) if (sa_reuse and N > 1) else 1
     W, H = sensor.film_resolution
     n = W * H * spp_pass
 
@@ -115,24 +128,21 @@ def mvpath_pass(scene, acc, seed, spp_pass: int, max_depth: int = 6,
         scene, ray, pos, p_view, sampler, S, max_depth, rr_depth, sa_mis,
         u_lens)
 
-    # refill weighting 1/(n_adapt+1) applies to the *primary-pixel*
-    # sample of adaptive pixels and to its refills (mvpath_multi.h:52-58);
-    # reprojected splats land in other views' pixels and keep weight 1.
     w_adapt = 1.0 / (n_adapt + 1.0)
-    for i, (spos, val, sactive) in enumerate(splats):
-        wgt = None
+    for i, (spos, val, fw, sactive) in enumerate(splats):
         if i == 0 and n_adapt > 0:
-            wgt = jnp.where(adapt_mask, w_adapt, 1.0)
-        acc = film_put(scene.film, acc, spos, val, weight=wgt,
+            fw = fw * jnp.where(adapt_mask, w_adapt, 1.0)
+        acc = film_put(scene.film, acc, spos, val, weight=fw,
                        active=sactive)
 
-    # ---- adaptive refill: masked second wavefront ----
+    # ---- adaptive refill: masked second wavefront (mvpath_multi.h:79-115)
     if n_adapt > 0:
         for a in range(n_adapt):
             smp_a = sampler.fork(1000 + a)
             u_pos_a, smp_a = smp_a.next_2d()
             pos_a = jnp.stack([px, py], -1) + u_pos_a
-            view_a, uv_a = sensor.quilt_decode(pos_a / jnp.array([W, H], jnp.float32))
+            view_a, uv_a = sensor.quilt_decode(
+                pos_a / jnp.array([W, H], jnp.float32))
             u_lens_a, smp_a = smp_a.next_2d()
             ray_a, rw_a = sensor.sample_ray(view_a, uv_a, u_lens_a)
             L_a, _, _, smp_a = path_mod.sample(
@@ -146,196 +156,205 @@ def mvpath_pass(scene, acc, seed, spp_pass: int, max_depth: int = 6,
 
 def _sample_multi(scene, ray, pos, p_view, sampler, S, max_depth, rr_depth,
                   sa_mis, u_lens):
-    """Core multi-view estimator (mvpath_multi.h:130 sample_multi).
-
-    Returns (list of (pos, value, weight_or_None, active), sampler,
-    adapt_mask)."""
+    """Core multi-view estimator (mvpath_multi.h:130 sample_multi)."""
     sensor = scene.sensor
     n = ray.o.shape[0]
-    W, H = sensor.film_resolution
     vw, vh = sensor.resolution
 
     si = scene.ray_intersect(ray)
-    valid = si.is_valid
+    p_hit = si.is_valid
 
-    # ---- direct emission -> primary view only (mvpath_multi.h:148-156)
-    L_primary = scene.eval_emitter(si, valid)
-    env = scene.eval_environment(ray.d)
-    L_primary = L_primary + jnp.where((~valid)[..., None], env, 0.0)
+    # ---- direct emission -> primary only (mvpath_multi.h:148-156)
+    result0 = scene.eval_emitter(si, p_hit)
+    result0 = result0 + jnp.where((~p_hit)[..., None],
+                                  scene.eval_environment(ray.d), 0.0)
+    direct_em = si.emitter_index >= 0
 
-    # ---- reuse eligibility (mvpath_multi.h:202-209)
     delta_mat = bsdf_flags_delta(scene, si)
-    rough = eval_roughness(scene, si)
-    is_emitter = si.emitter_index >= 0
-    eligible = valid & ~delta_mat & ~is_emitter & (rough > 0.0)
+    smooth = ~delta_mat
+    active_em = p_hit & smooth
+
+    # ---- shared NEE emitter sample (mvpath_multi.h:174-186)
+    u_nee, sampler = sampler.next_2d()
+    ds, em_weight = scene.sample_emitter_direction(si, u_nee)
+    active_em = active_em & (ds.pdf > 0.0)
+    wo_nee = si.to_local(ds.d)
+
+    # ---- primary BSDF eval (NEE dir) + sample (shared randoms)
+    rand_1, sampler = sampler.next_1d()
+    rand_2, sampler = sampler.next_2d()
+    f_nee0, pdf_nee0 = bsdf_eval_pdf(scene, si, wo_nee)
+    bs0 = bsdf_sample(scene, si, rand_1, rand_2)
+    flag_delta = bs0.sampled_delta
+    not_delta = ~flag_delta
+    p_not_delta = not_delta & p_hit
+    reuse = ~direct_em & p_not_delta & smooth
+
+    alpha = eval_roughness(scene, si)
+    diffuse = alpha > 0.99   # diffuse-lobe proxy (flag_diff in reference)
 
     group_base = (p_view // S) * S
     p_local = p_view % S
 
-    # ---- shared NEE emitter sample (mvpath_multi.h:174-186)
-    u_nee, sampler = sampler.next_2d()
-    ds, spec = scene.sample_emitter_direction(si, u_nee)
-    wo_nee_world = ds.d
+    # ---- primary view film pdf / Jacobian (sensors_visible<true>)
+    surf0 = sensor.sample_surface(p_view, si.p, si.sh_n, u_lens)
+    p_pdf0 = surf0["pdf"]
+    Jp0 = surf0["Jp"]
+    iJp0 = jnp.where(p_hit, m.safe_div(1.0, Jp0), 0.0)
+    prim_face = m.cos_theta(si.wi) > 0.0
+    wo_r0 = m.reflect(si.wi)
+    pdfM0 = jnp.where(diffuse, 1.0, _pdfM(si.wi))
 
-    # ---- per-view reprojection + camera selection ----
-    # s = 0 is the primary view itself
-    cams, surfs, wi_local = [], [], []
-    for s in range(S):
+    # per-view records
+    cams = [p_view]
+    wi_k = [si.wi]
+    wo_r = [wo_r0]
+    pdfMk = [pdfM0]
+    Jp = [Jp0]
+    p_pdf = [p_pdf0]
+    pdf_lk = [p_pdf0]
+    accepted = [p_hit]
+    f_nee = [f_nee0]
+    uv_k = [None]
+    direct_pdf_sum = jnp.where(active_em & (pdf_nee0 > 0), pdf_nee0, 0.0)
+    n_direct = 1.0 + jnp.zeros((n,))
+    wo_shared = bs0.wo
+    indirect = [p_hit]
+    res_count = jnp.full((n,), 2.0)   # reservoir size counter (ref: n_indir=2)
+
+    for s in range(1, S):
         cam = group_base + (p_local + s) % S
         cams.append(cam)
-        if s == 0:
-            surfs.append(None)
-            wi_local.append(si.wi)
-        else:
-            u_l, sampler = sampler.next_2d()
-            surf = sensor.sample_surface(cam, si.p, si.sh_n, u_l)
-            # shadow ray to the camera (mvpath.h:243-256)
-            cam_ray = si.spawn_ray_to(surf["p"])
-            occluded = scene.ray_test(cam_ray)
-            surf["visible"] = surf["visible"] & ~occluded & eligible
-            surfs.append(surf)
-            wi_local.append(si.to_local(surf["d"]))
+        surf = sensor.sample_surface(cam, si.p, si.sh_n, u_lens)
+        valid = surf["visible"] & (surf["face"] == prim_face) \
+            & (surf["Jp"] > 0.0) & reuse
+        # shadow ray toward the camera
+        cam_ray = si.spawn_ray_to(surf["p"])
+        valid = valid & ~scene.ray_test(cam_ray)
 
-    Jp = [None] * S
-    Jp[0] = _primary_Jp(sensor, p_view, si)
-    for s in range(1, S):
-        Jp[s] = surfs[s]["Jp"]
-
-    # stochastic selection (mvpath_multi.h:371-464)
-    accepted = [jnp.ones((n,), bool)]   # primary always in
-    rough_l = rough
-    cos_l = jnp.abs(m.cos_theta(si.wi))
-    for s in range(1, S):
+        wik = si.to_local(surf["d"])
+        wi_k.append(wik)
+        wo_r.append(m.reflect(wik))
+        pMk = _pdfM(wik)
+        pdfMk.append(pMk)
+        pdf_mat = tv_pdf_fast(wo_r0, wik, pMk, alpha, diffuse)
+        J = surf["Jp"] * iJp0
+        pdf_J = jnp.where(J > 1.0, m.safe_div(1.0, J), J)
+        pdf_sel = pdf_mat * pdf_J
         u_sel, sampler = sampler.next_1d()
-        cos_k = jnp.abs(m.cos_theta(wi_local[s]))
-        pdf_mat = tv_pdf_fast(rough_l, rough_l, cos_l, cos_k)
-        J = m.safe_div(Jp[s], Jp[0])
-        pdf_J = jnp.minimum(J, m.safe_div(1.0, J))
-        p_acc = jnp.clip(pdf_mat * pdf_J, 0.0, 1.0)
-        acc_s = surfs[s]["visible"] & (u_sel < p_acc)
-        accepted.append(acc_s)
-    n_indir = sum(a.astype(jnp.int32) for a in accepted)
+        valid = valid & (u_sel < pdf_sel)
+        accepted.append(valid)
+        Jp.append(surf["Jp"])
+        p_pdf.append(jnp.where(valid, surf["pdf"], 0.0))
+        pdf_lk.append(jnp.where(valid, p_pdf0 * J * pdf_sel, 0.0))
+        uv_k.append(surf["uv"])
 
-    # ---- per-view MIS weights over views (mvpath_multi.h:466-523)
-    # p(j->k) = min((Jp_j/Jp_k)^2, 1); w_k = p(0->k) / sum_j p(j->k)
+        # per-view NEE eval + candidate sample (same rand_1/rand_2)
+        si_k = si.replace(wi=wik)
+        f_k, pdf_k = bsdf_eval_pdf(scene, si_k, wo_nee)
+        f_nee.append(f_k)
+        direct = valid & (pdf_k > 0.0)
+        direct_pdf_sum = direct_pdf_sum + jnp.where(direct, pdf_k, 0.0)
+        n_direct = n_direct + direct.astype(jnp.float32)
+
+        bs_k = bsdf_sample(scene, si_k, rand_1, rand_2)
+        ind_k = valid & (bs_k.sampled_delta == flag_delta) \
+            & (bs_k.sampled_transmission == bs0.sampled_transmission)
+        u_r, sampler = sampler.next_1d()
+        replace = ind_k & (res_count * u_r < 1.0)
+        wo_shared = jnp.where(replace[..., None], bs_k.wo, wo_shared)
+        res_count = res_count + ind_k.astype(jnp.float32)
+        indirect.append(ind_k)
+
+    direct_pdf = m.safe_div(direct_pdf_sum, n_direct)
+
+    # ---- per-view MIS film weights (mis_weights, mvpath_multi.h:466-523)
     w_view = []
     for k in range(S):
-        num = jnp.minimum(m.safe_div(Jp[0], Jp[k]) ** 2, 1.0)
-        den = jnp.zeros((n,))
-        for j in range(S):
-            pjk = jnp.minimum(m.safe_div(Jp[j], Jp[k]) ** 2, 1.0)
-            den = den + jnp.where(accepted[j], pjk, 0.0)
-        wk = m.safe_div(num, den) if sa_mis else \
-            m.safe_div(jnp.ones((n,)), n_indir.astype(jnp.float32))
-        w_view.append(jnp.where(accepted[k], wk, 0.0))
+        pdf_sum = pdf_lk[k]
+        if k > 0:
+            pdf_sum = pdf_sum + p_pdf[k]
+        iJpk = m.safe_div(1.0, Jp[k])
+        cross = jnp.zeros((n,))
+        for j in range(1, S):
+            if j == k:
+                continue
+            pdf_J = jnp.minimum((Jp[j] * iJpk) ** 2, 1.0)
+            pdf_mat = tv_pdf_fast(wo_r[j], wi_k[k], pdfMk[k], alpha, diffuse)
+            cross = cross + jnp.where(accepted[j], p_pdf[j] * pdf_J * pdf_mat,
+                                      0.0)
+        cond = accepted[k] if k > 0 else reuse
+        pdf_sum = pdf_sum + jnp.where(cond, cross, 0.0)
+        wk = m.safe_div(pdf_lk[k], pdf_sum)
+        if not sa_mis:
+            wk = jnp.ones((n,))
+        w_view.append(wk)
+    # background / non-reuse primary lanes keep weight 1 (mvpath_multi.h:366)
+    w_view[0] = jnp.where(reuse, w_view[0], 1.0)
 
-    # ---- NEE contribution per view (mvpath_multi.h:248-267)
-    # mixture bsdf pdf over selected views for MIS vs the emitter pdf
-    f_nee, pdf_nee_mix = [], jnp.zeros((n,))
-    wo_nee_count = jnp.maximum(n_indir.astype(jnp.float32), 1.0)
-    for s in range(S):
-        si_s = si.replace(wi=wi_local[s])
-        f_s, p_s = bsdf_eval_pdf(scene, si_s, si.to_local(wo_nee_world))
-        f_nee.append(f_s)
-        pdf_nee_mix = pdf_nee_mix + jnp.where(accepted[s], p_s, 0.0)
-    pdf_nee_mix = pdf_nee_mix / wo_nee_count
-    w_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_nee_mix))
-    smooth = ~delta_mat
-
-    # ---- shared continuation direction with reservoir replacement ----
-    u1, sampler = sampler.next_1d()
-    u2, sampler = sampler.next_2d()
-    bs0 = bsdf_sample(scene, si, u1, u2)
-    wo_shared = bs0.wo
-    shared_delta = bs0.sampled_delta
-    res_count = jnp.ones((n,))
+    # ---- NEE contributions (mvpath_multi.h:248-267)
+    mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, direct_pdf))
+    emis = em_weight * mis_em[..., None]
+    results = [result0 + jnp.where(active_em[..., None], f_nee[0] * emis, 0.0)]
     for s in range(1, S):
-        u_r, sampler = sampler.next_1d()
-        u1s, sampler = sampler.next_1d()
-        u2s, sampler = sampler.next_2d()
-        si_s = si.replace(wi=wi_local[s])
-        bs_s = bsdf_sample(scene, si_s, u1s, u2s)
-        same_lobe = (bs_s.sampled_delta == shared_delta) \
-            & (bs_s.sampled_transmission == bs0.sampled_transmission)
-        res_count = res_count + accepted[s].astype(jnp.float32)
-        take = accepted[s] & same_lobe & (u_r * res_count < 1.0)
-        wo_shared = jnp.where(take[..., None], bs_s.wo, wo_shared)
+        results.append(jnp.where((active_em & accepted[s])[..., None],
+                                 f_nee[s] * emis, 0.0))
 
-    # mixture pdf of the shared wo over selected views (mvpath_multi.h:275-307)
-    f_ind, pdf_mix = [], jnp.zeros((n,))
+    # ---- indirect mixture pdf over views (mvpath_multi.h:275-307)
+    f_ind = []
+    pdf_mix_sum = jnp.zeros((n,))
+    n_indir = jnp.zeros((n,))
     for s in range(S):
-        si_s = si.replace(wi=wi_local[s])
+        si_s = si.replace(wi=wi_k[s])
         f_s, p_s = bsdf_eval_pdf(scene, si_s, wo_shared)
-        f_ind.append(f_s)
-        pdf_mix = pdf_mix + jnp.where(accepted[s], p_s, 0.0)
-    pdf_mix = pdf_mix / wo_nee_count
-    # delta lobes: eval is 0; fall back to primary-only transport
-    use_mixture = smooth & ~shared_delta
+        if s == 0:
+            # delta fallback: weight/pdf from the sample itself
+            f_s = jnp.where(p_not_delta[..., None], f_s,
+                            bs0.weight * bs0.pdf[..., None])
+            p_s = jnp.where(p_not_delta, p_s, bs0.pdf)
+            ok = indirect[s] & ((p_s > 0.0) | flag_delta)
+        else:
+            ok = indirect[s] & (p_s > 0.0)
+        indirect[s] = ok
+        f_ind.append(jnp.where(ok[..., None], f_s, 0.0))
+        pdf_mix_sum = pdf_mix_sum + jnp.where(ok, p_s, 0.0)
+        n_indir = n_indir + ok.astype(jnp.float32)
+    pdf_mix = jnp.where(p_not_delta,
+                        m.safe_div(pdf_mix_sum, n_indir), bs0.pdf)
+    adapt_mask = p_hit & (n_indir <= 1.0)
 
-    # ---- shared suffix path (mvpath_multi.h:526-689) ----
+    # ---- shared suffix (mvpath_multi.h:526-689)
     d_world = si.to_world(wo_shared)
     suffix_ray = si.spawn_ray(d_world)
-    L_suffix, prev_pdf_for_suffix = _sample_suffix(
-        scene, suffix_ray, sampler, si, pdf_mix, shared_delta,
-        max_depth, rr_depth, valid)
-    sampler = prev_pdf_for_suffix  # (sampler returned)
+    L_suffix, sampler = _sample_suffix(
+        scene, suffix_ray, sampler, pdf_mix, flag_delta, max_depth,
+        rr_depth, p_hit & (max_depth > 1))
 
-    # ---- assemble per-view contributions & splat list ----
-    splats = []
-    # primary view: emission + NEE + indirect
-    nee_ok0 = valid & smooth & (ds.pdf > 0.0) & (max_depth > 1)
-    ind0 = jnp.where(
-        (valid & (max_depth > 1))[..., None],
-        jnp.where(use_mixture[..., None],
-                  m.safe_div(f_ind[0], pdf_mix[..., None]) * w_view[0][..., None],
-                  bs0.weight) * L_suffix, 0.0)
-    val0 = (L_primary
-            + jnp.where(nee_ok0[..., None],
-                        spec * f_nee[0] * (w_em * w_view[0])[..., None], 0.0)
-            + ind0)
-    splats.append((pos, val0, None))
+    pdfW = jnp.where(p_not_delta, m.safe_div(1.0, pdf_mix), 1.0)
+    for s in range(S):
+        results[s] = results[s] + jnp.where(
+            indirect[s][..., None], f_ind[s] * pdfW[..., None] * L_suffix,
+            0.0)
 
-    # reused views: splat at the reprojected quilt position
+    # ---- assemble splats: (pos, value, film weight w, active).
+    # film_put scales values by the weight channel itself
+    # (block->put(pos, w * result, ..., w) with ImageBlock storing
+    # value*filter_w directly — our film_put takes the raw value and the
+    # statistical weight separately).
+    splats = [(pos, results[0], w_view[0], None)]
     for s in range(1, S):
-        surf = surfs[s]
         tile = sensor.quilt_tile_origin(cams[s]).astype(jnp.float32)
-        pos_s = tile + surf["uv"] * jnp.array([vw, vh], jnp.float32)
-        act = accepted[s] & valid
-        nee_s = jnp.where((act & smooth & (ds.pdf > 0.0))[..., None],
-                          spec * f_nee[s] * (w_em * w_view[s])[..., None], 0.0)
-        ind_s = jnp.where((act & use_mixture)[..., None],
-                          m.safe_div(f_ind[s], pdf_mix[..., None])
-                          * w_view[s][..., None] * L_suffix, 0.0)
-        splats.append((pos_s, nee_s + ind_s, act))
-
-    # adaptive mask: eligible but reuse failed (mvpath_multi.h:307)
-    adapt_mask = eligible & (n_indir <= 1)
+        pos_s = tile + uv_k[s] * jnp.array([vw, vh], jnp.float32)
+        act = accepted[s]
+        splats.append((pos_s, results[s], w_view[s], act))
     return splats, sampler, adapt_mask
 
 
-def _primary_Jp(sensor, view, si):
-    """Jp of the primary view (camera the ray came from)."""
-    surf = sensor.sample_surface(view, si.p, si.sh_n,
-                                 jnp.zeros(si.p.shape[:-1] + (2,)))
-    return surf["Jp"]
-
-
-def _sample_suffix(scene, ray, sampler, si_prev, pdf_mix, shared_delta,
-                   max_depth, rr_depth, active):
-    """Stock PT continuation shared by all views (mvpath_multi.h:526-689).
-
-    Runs the remaining max_depth-2 bounces; the first suffix vertex's
-    emitter-hit MIS uses the mixture pdf of the shared direction."""
-    n = ray.o.shape[0]
-    L, _, _, sampler = _suffix_loop(scene, ray, sampler, pdf_mix,
-                                    shared_delta, max_depth - 2, rr_depth,
-                                    active)
-    return L, sampler
-
-
-def _suffix_loop(scene, ray, sampler, first_pdf, first_delta, depth_budget,
-                 rr_depth, active):
-    """path.sample with injected prev_pdf/prev_delta of the shared dir."""
+def _sample_suffix(scene, ray, sampler, first_pdf, first_delta, max_depth,
+                   rr_depth, active):
+    """Stock PT continuation shared by all views (sample_suffix,
+    mvpath_multi.h:526-689): the remaining max_depth-1 path vertices;
+    first-vertex emitter MIS uses the injected mixture pdf."""
     n = ray.o.shape[0]
     has_env = scene.emitters.env_index >= 0
     state = dict(
@@ -347,9 +366,9 @@ def _suffix_loop(scene, ray, sampler, first_pdf, first_delta, depth_budget,
         prev_pdf=first_pdf,
         prev_delta=first_delta,
         prev_p=ray.o,
-        first_t=jnp.full((n,), jnp.inf),
         sampler=sampler,
     )
+    budget = max(max_depth - 1, 0)
 
     def bounce(state, it):
         s = dict(state)
@@ -365,7 +384,8 @@ def _suffix_loop(scene, ray, sampler, first_pdf, first_delta, depth_budget,
                               mis_weight(s["prev_pdf"], pdf_env))
             Lenv = scene.eval_environment(s["d"])
             s["L"] = s["L"] + jnp.where(
-                escaped[..., None], s["throughput"] * Lenv * w_mis[..., None], 0.0)
+                escaped[..., None],
+                s["throughput"] * Lenv * w_mis[..., None], 0.0)
         hit_act = active_i & valid
         Le = scene.eval_emitter(si, hit_act)
         pdf_nee = scene.pdf_emitter_hit(s["prev_p"], si)
@@ -374,7 +394,7 @@ def _suffix_loop(scene, ray, sampler, first_pdf, first_delta, depth_budget,
         s["L"] = s["L"] + jnp.where(
             hit_act[..., None], s["throughput"] * Le * w_mis[..., None], 0.0)
         active_i = hit_act
-        active_next = active_i & (it + 1 < depth_budget + 1)
+        active_next = active_i & (it + 1 < budget)
 
         u_nee, smp = smp.next_2d()
         ds, spec = scene.sample_emitter_direction(si, u_nee)
@@ -398,14 +418,15 @@ def _suffix_loop(scene, ray, sampler, first_pdf, first_delta, depth_budget,
         eta_n = s["eta"] * bs.eta
         thr_max = jnp.max(jax.lax.stop_gradient(thr), axis=-1) * eta_n * eta_n
         q = jnp.minimum(thr_max, 0.95)
-        do_rr = it + 1 >= rr_depth
+        do_rr = it + 2 >= rr_depth
         survive = ~do_rr | (u_rr < q)
         thr = jnp.where((do_rr & survive)[..., None],
-                        thr / jnp.maximum(jax.lax.stop_gradient(q), 1e-8)[..., None],
-                        thr)
+                        thr / jnp.maximum(jax.lax.stop_gradient(q),
+                                          1e-8)[..., None], thr)
         s["o"] = ray_new.o
         s["d"] = ray_new.d
-        s["throughput"] = jnp.where(active_next[..., None], thr, s["throughput"])
+        s["throughput"] = jnp.where(active_next[..., None], thr,
+                                    s["throughput"])
         s["eta"] = eta_n
         s["prev_pdf"] = bs.pdf
         s["prev_delta"] = bs.sampled_delta
@@ -414,12 +435,9 @@ def _suffix_loop(scene, ray, sampler, first_pdf, first_delta, depth_budget,
         s["sampler"] = smp
         return s, None
 
-    if depth_budget > 0:
-        state, _ = jax.lax.scan(bounce, state, jnp.arange(depth_budget + 1))
-    else:
-        # still need the first-vertex emission for depth-2 paths
-        state, _ = jax.lax.scan(bounce, state, jnp.arange(1))
-    return state["L"], None, None, state["sampler"]
+    if budget > 0:
+        state, _ = jax.lax.scan(bounce, state, jnp.arange(budget))
+    return state["L"], state["sampler"]
 
 
 def render_mvpath(scene, spp: int = 16, seed: int = 0, max_depth: int = 6,

@@ -115,6 +115,12 @@ class Scene:
     film: Any                     # film.FilmConfig
     bbox_lo: jnp.ndarray          # scene bounds (for dist. emitters)
     bbox_hi: jnp.ndarray
+    # participating media (render/medium.py); -1 = vacuum
+    media: Any = None             # MediumTable
+    shape_interior: jnp.ndarray = None   # (n_shapes,) int32 medium id
+    shape_exterior: jnp.ndarray = None   # (n_shapes,) int32 medium id
+    camera_medium: int = struct.field(pytree_node=False, default=-1)
+    has_media: bool = struct.field(pytree_node=False, default=False)
 
     # ---------------- ray queries ----------------
 

@@ -164,11 +164,10 @@ class CameraBatch:
             pdf_film = jnp.where(is_tl & (ap_area > 0),
                                  pdf_film / jnp.maximum(ap_area, 1e-20), pdf_film)
         cos_surf = m.dot(d, n_world)
-        front = cos_surf > 0.0
+        face = cos_surf > 0.0      # which surface side the camera sees
         Jp = m.safe_div(jnp.abs(cos_surf) * pdf_film, dist * dist)
-        visible = in_frustum & front
         return dict(uv=uv, d=d, dist=dist, pdf=pdf_film, Jp=Jp,
-                    visible=visible, p=o_world)
+                    visible=in_frustum, face=face, p=o_world)
 
     # ------------------------------------------------------------------
     # quilt layout (fork GridSensor grid.cpp:269-297 sample_ray_idx)

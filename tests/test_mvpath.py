@@ -1,0 +1,96 @@
+"""AMVPT multi-view integrator tests.
+
+The fork ships no tests for mvpath/grid (SURVEY.md §4) — parity here is
+established against the stock `path` integrator on the same grid-sensor
+scene: per-view means must agree (unbiasedness of reuse + view MIS),
+and reuse must reduce variance at equal spp (the point of AMVPT).
+"""
+
+import numpy as np
+import pytest
+
+import mitsuba3_amvpt_tpu as mt
+from mitsuba3_amvpt_tpu.render.integrators.mvpath import (render_mvpath,
+                                                          reuse_group_size)
+from mitsuba3_amvpt_tpu.utils import scenes
+
+
+def grid_scene(views, mode="cone", res=24, **kw):
+    d = scenes.cornell_box(res=res)
+    d["sensor"] = {
+        "type": "grid", "grid": [views, 1], "mode": mode,
+        "fov": 39.3077, "focus_distance": 3.9,
+        "to_world": {"lookat": {"origin": [0, 0, 3.9], "target": [0, 0, 0],
+                                "up": [0, 1, 0]}},
+        "film": {"type": "hdrfilm", "width": res * views, "height": res,
+                 "rfilter": {"type": "box"}},
+        **kw}
+    return mt.load_dict(d), res
+
+
+class TestGroupHeuristic:
+    def test_divisor_of_n_prefers_8(self):
+        # mvpath.cpp:192-217
+        assert reuse_group_size(8) == 8
+        assert reuse_group_size(48) == 8
+        assert reuse_group_size(12) == 12
+        assert reuse_group_size(7) == 7
+        assert reuse_group_size(6) == 6
+        assert reuse_group_size(8, requested=4) == 4
+        assert reuse_group_size(8, requested=3) == 8  # non-divisor ignored
+
+
+class TestMVPath:
+    def test_single_view_equals_path(self):
+        """S=1 (no reuse) must match the stock path integrator."""
+        sc, res = grid_scene(1)
+        a = np.asarray(render_mvpath(sc, spp=48, max_depth=3, seed=0,
+                                     sa_reuse=False))
+        b = np.asarray(mt.render(sc, spp=48, max_depth=3, seed=1))
+        assert abs(a.mean() - b.mean()) < 0.01
+
+    def test_identical_views_unbiased(self):
+        """Two near-identical views: reuse estimator must reproduce the
+        per-pixel image (catches weight-channel accounting bugs)."""
+        sc, res = grid_scene(2, mode="line", spacing=1e-3)
+        img = np.asarray(render_mvpath(sc, spp=96, max_depth=3, seed=0))
+        ref = np.asarray(mt.render(sc, spp=96, max_depth=3, seed=2))
+        lit = ref.mean(-1) > 0.05
+        ratio = img.mean(-1)[lit] / ref.mean(-1)[lit]
+        assert abs(np.median(ratio) - 1.0) < 0.03
+        assert abs(img.mean() / ref.mean() - 1.0) < 0.03
+
+    def test_cone_views_unbiased(self):
+        sc, res = grid_scene(4, cone_deg=30)
+        img = np.asarray(render_mvpath(sc, spp=48, max_depth=3, seed=0))
+        ref = np.asarray(mt.render(sc, spp=96, max_depth=3, seed=2))
+        for v in range(4):
+            a = img[:, v * res:(v + 1) * res].mean()
+            b = ref[:, v * res:(v + 1) * res].mean()
+            assert a == pytest.approx(b, rel=0.06, abs=2e-3), (v, a, b)
+
+    def test_reuse_reduces_variance(self):
+        """Effective-spp amplification (mvpath.h:70-73): at equal spp the
+        reuse render must be closer to a converged reference than the
+        non-reuse render on the central views."""
+        sc, res = grid_scene(4, cone_deg=20)
+        gt = np.asarray(mt.render(sc, spp=512, max_depth=2, seed=99))
+        errs = {}
+        for name, kw in [("reuse", dict(sa_reuse=True)),
+                         ("noreuse", dict(sa_reuse=False))]:
+            acc = []
+            for seed in range(3):
+                img = np.asarray(render_mvpath(sc, spp=8, max_depth=2,
+                                               seed=seed, **kw))
+                c = img[:, res:3 * res]  # central views
+                acc.append(((c - gt[:, res:3 * res]) ** 2).mean())
+            errs[name] = np.mean(acc)
+        assert errs["reuse"] < errs["noreuse"], errs
+
+    def test_adaptive_refill_runs(self):
+        sc, res = grid_scene(2, cone_deg=20)
+        img = np.asarray(render_mvpath(sc, spp=16, max_depth=3, seed=0,
+                                       n_adapt=2))
+        assert np.isfinite(img).all()
+        ref = np.asarray(mt.render(sc, spp=64, max_depth=3, seed=2))
+        assert abs(img.mean() / ref.mean() - 1.0) < 0.06
