@@ -55,6 +55,8 @@ _BSDF_TYPE = {
     "roughplastic": bsdf_reg.D_ROUGHPLASTIC,
     "thindielectric": bsdf_reg.D_THINDIELECTRIC,
     "null": bsdf_reg.D_NULL,
+    "principled": bsdf_reg.D_PRINCIPLED,
+    "principledthin": bsdf_reg.D_PRINCIPLED,  # thin variant: later round
 }
 
 
@@ -210,16 +212,31 @@ class _Builder:
 
     def _bsdf_row(self, spec):
         twosided = False
-        while spec.get("type") == "twosided":
-            twosided = True
-            inner = [v for v in spec.values()
-                     if isinstance(v, dict) and "type" in v and v is not spec]
-            spec = spec.get("bsdf", inner[0] if inner else {"type": "diffuse"})
+        normal_tex = bump_tex = -1
+        while True:
+            t0 = spec.get("type")
+            if t0 == "twosided":
+                twosided = True
+            elif t0 == "normalmap":
+                nm = spec.get("normalmap")
+                if nm is not None:
+                    _, normal_tex = self.resolve_texture(nm)
+            elif t0 == "bumpmap":
+                bm = spec.get("texture", spec.get("bumpmap"))
+                if bm is not None:
+                    _, bump_tex = self.resolve_texture(bm)
+            elif t0 in ("mask", "blendbsdf"):
+                pass  # parity gap: unwrap to the nested bsdf (round 2)
+            else:
+                break
+            inner = spec.get("bsdf")
+            if inner is None:
+                inner = next((v for k, v in spec.items()
+                              if isinstance(v, dict) and "type" in v
+                              and k not in ("normalmap", "bumpmap", "texture")),
+                             {"type": "diffuse"})
+            spec = inner
         t = spec["type"]
-        if t == "bumpmap" or t == "normalmap" or t == "mask" or t == "blendbsdf":
-            # parity gap: treat as the nested bsdf (round 2+)
-            inner = [v for v in spec.values() if isinstance(v, dict) and "type" in v]
-            return self._bsdf_row(inner[0] if inner else {"type": "diffuse"})
         if t not in _BSDF_TYPE:
             raise ValueError(f"unsupported bsdf type {t!r}")
         mtype = _BSDF_TYPE[t]
@@ -230,6 +247,9 @@ class _Builder:
         if t in ("plastic", "roughplastic"):
             albedo, albedo_tex = self.resolve_texture(
                 spec.get("diffuse_reflectance", 0.5))
+        if t in ("principled", "principledthin"):
+            albedo, albedo_tex = self.resolve_texture(
+                spec.get("base_color", 0.5))
 
         alpha = np.array([0.1, 0.1])
         alpha_tex = -1
@@ -243,6 +263,28 @@ class _Builder:
         if "alpha_u" in spec:
             alpha = np.array([float(spec["alpha_u"]),
                               float(spec.get("alpha_v", spec["alpha_u"]))])
+        if "roughness" in spec:  # principled parameterizes by roughness
+            r = spec["roughness"]
+            if isinstance(r, dict):
+                _, alpha_tex = self.resolve_texture(r)
+                alpha = np.array([0.5, 0.5])
+            else:
+                alpha = np.array([float(r), float(r)])
+
+        # principled extras (src/bsdfs/principled.cpp property set)
+        extra = np.zeros(10)
+        if t in ("principled", "principledthin"):
+            extra = np.array([
+                float(spec.get("metallic", 0.0)),
+                float(spec.get("spec_tint", 0.0)),
+                float(spec.get("sheen", 0.0)),
+                float(spec.get("sheen_tint", 0.0)),
+                float(spec.get("clearcoat", 0.0)),
+                float(spec.get("clearcoat_gloss", 1.0)),
+                float(spec.get("anisotropic", 0.0)),
+                float(spec.get("flatness", 0.0)),
+                float(spec.get("spec_trans", 0.0)),
+                0.0])
 
         def ior_of(v, default):
             if isinstance(v, str):
@@ -278,10 +320,18 @@ class _Builder:
         s_mean = float(np.mean(spec_refl))
         sw = s_mean / max(d_mean + s_mean, 1e-9)
 
+        if t in ("principled", "principledthin"):
+            # principled specular strength via 'specular' or eta
+            specular = float(spec.get("specular", 0.5))
+            f0 = 0.08 * specular
+            eta = (1.0 + np.sqrt(min(f0, 0.99))) / max(1.0 - np.sqrt(min(f0, 0.99)), 1e-3) \
+                if "specular" in spec else float(spec.get("eta", 1.5))
+
         return dict(mtype=mtype, albedo=albedo, albedo_tex=albedo_tex,
                     alpha=alpha, alpha_tex=alpha_tex, eta_c=eta_c, k_c=k_c,
                     eta=eta, spec_refl=spec_refl, spec_trans=spec_trans,
-                    twosided=twosided, fdr_int=fdr, spec_weight=sw)
+                    twosided=twosided, fdr_int=fdr, spec_weight=sw,
+                    extra=extra, normal_tex=normal_tex, bump_tex=bump_tex)
 
     # ---------------- media ----------------
 
@@ -619,6 +669,8 @@ class _Builder:
         def col(k, dt=np.float32):
             return jnp.asarray(np.stack([np.asarray(r[k]) for r in rows]).astype(dt))
 
+        has_maps = any(r["normal_tex"] >= 0 or r["bump_tex"] >= 0
+                       for r in rows)
         return bsdf_reg.MaterialTable(
             mtype=col("mtype", np.int32), albedo=col("albedo"),
             albedo_tex=col("albedo_tex", np.int32), alpha=col("alpha"),
@@ -626,6 +678,9 @@ class _Builder:
             k_c=col("k_c"), eta=col("eta"), spec_refl=col("spec_refl"),
             spec_trans=col("spec_trans"), twosided=col("twosided", bool),
             fdr_int=col("fdr_int"), spec_weight=col("spec_weight"),
+            extra=col("extra"), normal_tex=col("normal_tex", np.int32),
+            bump_tex=col("bump_tex", np.int32),
+            has_shading_maps=has_maps,
             types_present=tuple(sorted({int(r["mtype"]) for r in rows})))
 
     def _emitter_table(self, verts, faces, tri_shape, sphc, sphr, sphs,

@@ -39,6 +39,7 @@ D_PLASTIC = 5
 D_ROUGHPLASTIC = 6
 D_THINDIELECTRIC = 7
 D_NULL = 8
+D_PRINCIPLED = 9
 
 _SMOOTH_TYPES = (D_DIFFUSE, D_ROUGHCONDUCTOR, D_ROUGHDIELECTRIC,
                  D_PLASTIC, D_ROUGHPLASTIC)
@@ -60,9 +61,50 @@ class MaterialTable:
     spec_trans: jnp.ndarray  # (M, 3) specular transmittance tint
     twosided: jnp.ndarray    # (M,) bool
     types_present: tuple = struct.field(pytree_node=False, default=())
+    has_shading_maps: bool = struct.field(pytree_node=False, default=False)
     # plastic precomputations
     fdr_int: jnp.ndarray = None   # (M,) internal diffuse Fresnel reflectance
     spec_weight: jnp.ndarray = None  # (M,) specular sampling weight
+    # principled extras: [metallic, spec_tint, sheen, sheen_tint,
+    #   clearcoat, clearcoat_gloss, anisotropic, flatness, spec_trans, _]
+    extra: jnp.ndarray = None     # (M, 10)
+    normal_tex: jnp.ndarray = None  # (M,) int32 normal-map texture or -1
+    bump_tex: jnp.ndarray = None    # (M,) int32 bump-map texture or -1
+
+
+def apply_shading_maps(scene, si):
+    """Perturb the shading frame by normal/bump maps
+    (src/bsdfs/normalmap.cpp, bumpmap.cpp).  Returns a new si with the
+    frame rebuilt and wi re-expressed in it."""
+    mt = scene.materials
+    if not mt.has_shading_maps:
+        return si
+    i = jnp.maximum(si.material_index, 0)
+    ntex = mt.normal_tex[i]
+    btex = mt.bump_tex[i]
+    wi_world = si.to_world(si.wi)
+
+    n_world = si.sh_n
+    # normal map: tangent-space normal from RGB
+    nm = scene.textures.eval_bilinear(jnp.maximum(ntex, 0), si.uv) * 2.0 - 1.0
+    n_nm = si.to_world(m.normalize(nm))
+    n_world = jnp.where((ntex >= 0)[..., None], n_nm, n_world)
+    # bump map: central-difference height gradient
+    eps = 1e-3
+    du = jnp.array([eps, 0.0])
+    dv = jnp.array([0.0, eps])
+    h0 = scene.textures.eval_bilinear(jnp.maximum(btex, 0), si.uv)[..., 0]
+    hu = scene.textures.eval_bilinear(jnp.maximum(btex, 0), si.uv + du)[..., 0]
+    hv = scene.textures.eval_bilinear(jnp.maximum(btex, 0), si.uv + dv)[..., 0]
+    dhdu = (hu - h0) / eps
+    dhdv = (hv - h0) / eps
+    n_bm = m.normalize(si.sh_n - dhdu[..., None] * si.sh_s
+                       - dhdv[..., None] * si.sh_t)
+    n_world = jnp.where((btex >= 0)[..., None], n_bm, n_world)
+
+    s, t = m.coordinate_system(n_world)
+    return si.replace(sh_n=n_world, sh_s=s, sh_t=t,
+                      wi=m.frame_to_local(n_world, s, t, wi_world))
 
 
 def _gather_params(scene, si):
@@ -85,7 +127,8 @@ def _gather_params(scene, si):
         eta_c=mt.eta_c[i], k_c=mt.k_c[i], eta=mt.eta[i],
         spec_refl=mt.spec_refl[i], spec_trans=mt.spec_trans[i],
         twosided=mt.twosided[i],
-        fdr_int=mt.fdr_int[i], spec_weight=mt.spec_weight[i])
+        fdr_int=mt.fdr_int[i], spec_weight=mt.spec_weight[i],
+        extra=mt.extra[i])
 
 
 def _flip(p, wi, wo=None):
@@ -376,6 +419,144 @@ def _rough_plastic_eval_pdf(p, wi, wo):
     return jnp.where(active[..., None], f, 0.0), jnp.where(active, pdf, 0.0)
 
 
+# -- principled (src/bsdfs/principled.cpp, 905 LoC; Burley 2012/2015) ------
+#
+# Reflection-only v1: diffuse + retro/fake-subsurface + sheen + anisotropic
+# GGX specular with metallic/spec_tint Schlick Fresnel + GTR1 clearcoat.
+# spec_trans (the refractive lobe) is a later-round item.
+
+def _schlick(F0, cos_t):
+    m5 = jnp.clip(1.0 - cos_t, 0.0, 1.0) ** 5
+    return F0 + (1.0 - F0) * m5[..., None] if jnp.ndim(F0) > jnp.ndim(cos_t) \
+        else F0 + (1.0 - F0) * m5
+
+
+def _principled_alphas(p):
+    rough = jnp.clip(p["alpha"][..., 0], 1e-3, 1.0)
+    aniso = p["extra"][..., 6]
+    aspect = jnp.sqrt(1.0 - 0.9 * aniso)
+    a2 = rough * rough
+    ax = jnp.maximum(a2 / aspect, 1e-4)
+    ay = jnp.maximum(a2 * aspect, 1e-4)
+    return ax, ay, rough
+
+
+def _gtr1_d(ct, a):
+    a2 = a * a
+    t = 1.0 + (a2 - 1.0) * ct * ct
+    return m.safe_div(a2 - 1.0, jnp.pi * jnp.log(jnp.maximum(a2, 1e-8)) * t)
+
+
+def _principled_lobe_weights(p, wi):
+    metallic = p["extra"][..., 0]
+    cc = p["extra"][..., 4]
+    w_spec = jnp.ones_like(metallic)
+    w_diff = jnp.clip(1.0 - metallic, 0.0, 1.0)
+    w_cc = 0.25 * cc
+    total = w_spec + w_diff + w_cc
+    return w_diff / total, w_spec / total, w_cc / total
+
+
+def _principled_eval_pdf(p, wi, wo):
+    ci, co = m.cos_theta(wi), m.cos_theta(wo)
+    active = (ci > 0.0) & (co > 0.0)
+    base = p["albedo"]
+    ex = p["extra"]
+    metallic, spec_tint = ex[..., 0], ex[..., 1]
+    sheen, sheen_tint = ex[..., 2], ex[..., 3]
+    cc, cc_gloss = ex[..., 4], ex[..., 5]
+    flat = ex[..., 7]
+    ax, ay, rough = _principled_alphas(p)
+
+    h = m.normalize(wi + wo)
+    cos_d = m.dot(wi, h)
+
+    # --- diffuse + retro + fake subsurface (Burley 2012 §5.3)
+    fd90 = 0.5 + 2.0 * rough * cos_d * cos_d
+    fl = (1.0 - ci) ** 5
+    fv = (1.0 - co) ** 5
+    f_base = (1.0 + (fd90 - 1.0) * fl) * (1.0 + (fd90 - 1.0) * fv)
+    fss90 = rough * cos_d * cos_d
+    fss = ((1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv))
+    ss = 1.25 * (fss * (m.safe_div(1.0, ci + co) - 0.5) + 0.5)
+    f_diff_scalar = m.lerp(f_base, ss, flat) * warp.INV_PI * co
+    lum = (0.2126 * base[..., 0] + 0.7152 * base[..., 1]
+           + 0.0722 * base[..., 2])
+    tint = jnp.where((lum > 0)[..., None],
+                     base / jnp.maximum(lum, 1e-6)[..., None],
+                     jnp.ones_like(base))
+    f_sheen = (sheen[..., None]
+               * m.lerp(jnp.ones_like(base), tint, sheen_tint[..., None])
+               * ((1.0 - cos_d) ** 5 * co)[..., None])
+    f_diffuse = (base * f_diff_scalar[..., None] + f_sheen) \
+        * (1.0 - metallic)[..., None]
+
+    # --- specular: anisotropic GGX + Schlick Fresnel
+    eta = jnp.maximum(p["eta"], 1.01)
+    F0_d = ((eta - 1.0) / (eta + 1.0)) ** 2
+    F0 = m.lerp(
+        F0_d[..., None] * m.lerp(jnp.ones_like(base), tint,
+                                 spec_tint[..., None]),
+        base, metallic[..., None])
+    F = _schlick(F0, cos_d)
+    D = mf.ndf(h, ax, ay)
+    G = mf.G(wi, wo, h, ax, ay)
+    f_spec = F * m.safe_div(D * G, 4.0 * ci)[..., None]
+
+    # --- clearcoat: GTR1, fixed F0 = 0.04, Smith alpha 0.25
+    a_cc = m.lerp(0.1, 0.001, cc_gloss)
+    Dc = _gtr1_d(m.cos_theta(h), a_cc)
+    Fc = _schlick(jnp.full_like(cos_d, 0.04), cos_d)
+    Gc = mf.G(wi, wo, h, 0.25, 0.25)
+    # f*cos_o with the standard microfacet denominator 4 ci co
+    f_cc = (0.25 * cc * Dc * Fc * Gc * m.safe_div(1.0, 4.0 * ci))[..., None]
+
+    f = f_diffuse + f_spec + f_cc
+
+    # --- pdf: lobe mixture
+    w_diff, w_spec, w_cc = _principled_lobe_weights(p, wi)
+    pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
+    pdf_spec = m.safe_div(mf.pdf_vndf(wi, h, ax, ay),
+                          4.0 * jnp.abs(m.dot(wo, h)))
+    pdf_cc = m.safe_div(Dc * jnp.abs(m.cos_theta(h)),
+                        4.0 * jnp.abs(m.dot(wo, h)))
+    pdf = w_diff * pdf_diff + w_spec * pdf_spec + w_cc * pdf_cc
+    return jnp.where(active[..., None], f, 0.0), jnp.where(active, pdf, 0.0)
+
+
+def _principled_sample(p, wi, u1, u2):
+    ci = m.cos_theta(wi)
+    active = ci > 0.0
+    w_diff, w_spec, w_cc = _principled_lobe_weights(p, wi)
+    ax, ay, rough = _principled_alphas(p)
+
+    # lobe select on u1
+    pick_diff = u1 < w_diff
+    pick_spec = (u1 >= w_diff) & (u1 < w_diff + w_spec)
+
+    wo_diff = warp.square_to_cosine_hemisphere(u2)
+    h_spec, _ = mf.sample_vndf(wi, u2, ax, ay)
+    wo_spec = m.reflect_h(wi, h_spec)
+    # clearcoat GTR1 sampling
+    ex = p["extra"]
+    a_cc = m.lerp(0.1, 0.001, ex[..., 5])
+    a2 = a_cc * a_cc
+    ct2 = m.safe_div(1.0 - jnp.power(a2, 1.0 - u2[..., 0]), 1.0 - a2)
+    ct = m.safe_sqrt(ct2)
+    st = m.safe_sqrt(1.0 - ct2)
+    phi = 2.0 * jnp.pi * u2[..., 1]
+    h_cc = m.vec(st * jnp.cos(phi), st * jnp.sin(phi), ct)
+    wo_cc = m.reflect_h(wi, h_cc)
+
+    wo = jnp.where(pick_diff[..., None], wo_diff,
+                   jnp.where(pick_spec[..., None], wo_spec, wo_cc))
+    f, pdf = _principled_eval_pdf(p, wi, wo)
+    ok = active & (pdf > 0.0) & (m.cos_theta(wo) > 0.0)
+    weight = jnp.where(ok[..., None], m.safe_div(f, pdf[..., None]), 0.0)
+    return wo, jnp.where(ok, pdf, 0.0), weight, jnp.ones_like(ci), \
+        jnp.zeros_like(active), jnp.zeros_like(active)
+
+
 # -- null (src/bsdfs/null.cpp) ---------------------------------------------
 
 def _null_sample(p, wi, u1, u2):
@@ -389,6 +570,7 @@ def _null_eval_pdf(p, wi, wo):
 
 
 _SAMPLERS = {
+    D_PRINCIPLED: _principled_sample,
     D_DIFFUSE: _diffuse_sample,
     D_CONDUCTOR: _conductor_sample,
     D_ROUGHCONDUCTOR: _rough_conductor_sample,
@@ -400,6 +582,7 @@ _SAMPLERS = {
     D_NULL: _null_sample,
 }
 _EVALS = {
+    D_PRINCIPLED: _principled_eval_pdf,
     D_DIFFUSE: _diffuse_eval_pdf,
     D_CONDUCTOR: _conductor_eval_pdf,
     D_ROUGHCONDUCTOR: _rough_conductor_eval_pdf,
@@ -414,11 +597,16 @@ _EVALS = {
 # types whose twosided flag flips the frame (transmissive types handle
 # both sides natively)
 _FLIPPABLE = (D_DIFFUSE, D_CONDUCTOR, D_ROUGHCONDUCTOR, D_PLASTIC,
-              D_ROUGHPLASTIC)
+              D_ROUGHPLASTIC, D_PRINCIPLED)
 
 
 def bsdf_sample(scene, si, u1, u2):
-    """Dispatch BSDFSample over present types (bsdf.h ``sample``)."""
+    """Dispatch BSDFSample over present types (bsdf.h ``sample``).
+
+    The returned wo is expressed in the CALLER's (unperturbed) shading
+    frame even when normal/bump maps perturb the internal frame."""
+    si_orig = si
+    si = apply_shading_maps(scene, si)
     p = _gather_params(scene, si)
     wi = si.wi
     n = wi.shape[0]
@@ -442,11 +630,20 @@ def bsdf_sample(scene, si, u1, u2):
             sampled_delta=jnp.where(mask, is_d, out.sampled_delta),
             sampled_transmission=jnp.where(mask, is_t, out.sampled_transmission),
             weight=jnp.where(mask[..., None], w, out.weight))
+    if si is not si_orig:
+        out = out.replace(wo=si_orig.to_local(si.to_world(out.wo)))
     return out
 
 
 def bsdf_eval_pdf(scene, si, wo):
-    """Dispatch (f*cos, pdf) (bsdf.h:455 ``eval_pdf``)."""
+    """Dispatch (f*cos, pdf) (bsdf.h:455 ``eval_pdf``).
+
+    NOTE: wo must be in si's *unperturbed* local frame; shading maps
+    re-express both wi and wo consistently."""
+    si_m = apply_shading_maps(scene, si)
+    if si_m is not si:
+        wo = si_m.to_local(si.to_world(wo))
+    si = si_m
     p = _gather_params(scene, si)
     wi = si.wi
     n = wi.shape[0]

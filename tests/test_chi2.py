@@ -11,6 +11,25 @@ from mitsuba3_amvpt_tpu.core import warp
 from mitsuba3_amvpt_tpu.utils.chi2 import ChiSquareTest, SphericalDomain
 
 
+def _make_si_factory(wi):
+    import jax.numpy as jnp
+    from mitsuba3_amvpt_tpu.render.records import SurfaceInteraction
+
+    def mk(n):
+        z = jnp.zeros((n, 3))
+        e = jnp.tile(jnp.array([[0.0, 0, 1]]), (n, 1))
+        return SurfaceInteraction(
+            t=jnp.ones((n,)), p=z, n=e, sh_n=e,
+            sh_s=jnp.tile(jnp.array([[1.0, 0, 0]]), (n, 1)),
+            sh_t=jnp.tile(jnp.array([[0.0, 1, 0]]), (n, 1)),
+            uv=jnp.zeros((n, 2)), wi=jnp.tile(wi[None], (n, 1)),
+            prim_index=jnp.zeros((n,), jnp.int32),
+            shape_index=jnp.zeros((n,), jnp.int32),
+            material_index=jnp.zeros((n,), jnp.int32),
+            emitter_index=jnp.full((n,), -1, jnp.int32))
+    return mk
+
+
 def run_chi2(sample_func, pdf_func, dim=2, seed=0, res=51, ires=8):
     t = ChiSquareTest(SphericalDomain(), sample_func, pdf_func,
                       sample_dim=dim, sample_count=400_000, res=res,
@@ -64,6 +83,37 @@ class TestVNDFChi2:
 class TestBSDFChi2:
     """Sample/pdf consistency of the BSDF lobes through the registry
     (reference: per-plugin chi2 tests)."""
+
+    def test_principled_multilobe(self):
+        """principled with all reflective lobes enabled (3rd sample dim
+        drives the stochastic lobe selection)."""
+        import mitsuba3_amvpt_tpu as mt
+        import jax.numpy as jnp
+        from mitsuba3_amvpt_tpu.render.bsdfs import (bsdf_eval_pdf,
+                                                     bsdf_sample)
+        sc = mt.load_dict({
+            "type": "scene",
+            "s": {"type": "rectangle",
+                  "bsdf": {"type": "principled",
+                           "base_color": [0.7, 0.3, 0.2],
+                           "roughness": 0.4, "metallic": 0.3,
+                           "clearcoat": 0.5, "sheen": 0.3,
+                           "anisotropic": 0.3}},
+        })
+        wi = m.normalize(jnp.asarray([0.4, 0.1, 0.8], jnp.float32))
+        mk = _make_si_factory(wi)
+
+        def sample(u):
+            bs = bsdf_sample(sc, mk(u.shape[0]), u[:, 2], u[:, :2])
+            return jnp.where((bs.pdf > 0)[..., None], bs.wo, jnp.nan)
+
+        def pdf(d):
+            _, p = bsdf_eval_pdf(sc, mk(d.shape[0]), d)
+            return p
+
+        t = ChiSquareTest(SphericalDomain(), sample, pdf, sample_dim=3,
+                          sample_count=300_000, res=41, seed=2)
+        assert t.run(significance_level=0.002), t.messages
 
     def _bsdf_chi2(self, mat_dict, wi, seed=0):
         import mitsuba3_amvpt_tpu as mt
