@@ -256,15 +256,94 @@ def intersect_bvh(geom, o, d, maxt, any_hit: bool = False):
     return bt, buv, jnp.where(hit_valid, bprim, -1)
 
 
+def _morton3(x, y, z):
+    """Interleave 3x8-bit cell coords into a 24-bit Morton code."""
+    def spread(v):
+        v = v & 0xFF
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+    return spread(x) | (spread(y) << 1) | (spread(z) << 2)
+
+
+def _ray_sort_keys(o, d, lo, hi):
+    """Coherence keys: direction octant (high bits) + Morton cell of the
+    origin — sorting rays by this makes kernel ray-blocks traverse
+    similar tile sets (the TPU analog of GPU ray binning)."""
+    extent = jnp.maximum(hi - lo, 1e-6)
+    cell = jnp.clip(((o - lo) / extent * 255.0).astype(jnp.uint32), 0, 255)
+    octant = ((d[..., 0] >= 0).astype(jnp.uint32)
+              | ((d[..., 1] >= 0).astype(jnp.uint32) << 1)
+              | ((d[..., 2] >= 0).astype(jnp.uint32) << 2))
+    m = _morton3(cell[..., 0], cell[..., 1], cell[..., 2])
+    return (octant << 24) | (m >> 3)
+
+
+def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
+                    sort_rays: bool = True):
+    """Large-scene tiled-cull sweep (ops/isect.py): triangles permuted
+    into BVH-leaf order, per-tile AABB block culling, dense VPU tests.
+    Rays are Morton-sorted so blocks stay coherent for the culling."""
+    from ..ops.isect import pack_tiles, ray_triangles_tiled
+    order = geom.tri_order
+    p0 = geom.tri_p0[order]
+    p1 = geom.tri_p1[order]
+    p2 = geom.tri_p2[order]
+    soa, tb = pack_tiles(p0, p1, p2)
+
+    if sort_rays:
+        lo = jnp.min(tb[:3].min(1), 0)
+        hi = jnp.max(tb[3:].max(1), 0)
+        keys = _ray_sort_keys(o, d, lo, hi)
+        perm = jnp.argsort(keys)
+        o_s, d_s, maxt_s = o[perm], d[perm], maxt[perm]
+        t, u, v, cid = ray_triangles_tiled(o_s, d_s, maxt_s, soa, tb,
+                                           any_hit=any_hit)
+        inv = jnp.argsort(perm)
+        t, u, v, cid = t[inv], u[inv], v[inv], cid[inv]
+    else:
+        t, u, v, cid = ray_triangles_tiled(o, d, maxt, soa, tb,
+                                           any_hit=any_hit)
+    prim = jnp.where(cid >= 0, order[jnp.maximum(cid, 0)], -1)
+    best = (t, jnp.stack([u, v], -1), prim)
+
+    S = geom.sph_center.shape[0]
+    if S > 0:
+        ts, hit = ray_sphere(o[:, None, :], d[:, None, :],
+                             geom.sph_center[None], geom.sph_radius[None])
+        ts = jnp.where(ts < jnp.minimum(best[0], maxt)[:, None], ts, jnp.inf)
+        k = jnp.argmin(ts, axis=1)
+        tk = jnp.take_along_axis(ts, k[:, None], 1)[:, 0]
+        upd = jnp.isfinite(tk)
+        F = geom.tri_p0.shape[0]
+        best = (jnp.where(upd, tk, best[0]),
+                jnp.where(upd[:, None], jnp.zeros_like(best[1]), best[1]),
+                jnp.where(upd, F + k, best[2]))
+    t, uv, prim = best
+    hit_valid = jnp.isfinite(t) & (t < maxt)
+    return t, uv, jnp.where(hit_valid, prim, -1)
+
+
+def _pick_mode(geom, mode):
+    mode = mode or geom.accel_mode
+    if mode == "tiled" and jax.default_backend() != "tpu":
+        return "bvh"   # CPU tests use the reference XLA traversal
+    return mode
+
+
 def ray_intersect_prelim(geom, ray, mode: str = None) -> PreliminaryIntersection:
     """Closest-hit query -> PreliminaryIntersection (detached).
 
     Equivalent of Scene::ray_intersect_preliminary (scene.h:146).
     """
-    mode = mode or geom.accel_mode
+    mode = _pick_mode(geom, mode)
     d = jax.lax.stop_gradient(ray.d)
     o = jax.lax.stop_gradient(ray.o)
-    if mode == "bvh":
+    if mode == "tiled":
+        t, uv, prim = intersect_tiled(geom, o, d, ray.maxt)
+    elif mode == "bvh":
         t, uv, prim = intersect_bvh(geom, o, d, ray.maxt)
     else:
         t, uv, prim = intersect_brute(geom, o, d, ray.maxt)
@@ -283,9 +362,12 @@ def ray_intersect_prelim(geom, ray, mode: str = None) -> PreliminaryIntersection
 
 def ray_test(geom, ray, mode: str = None):
     """Shadow/any-hit query -> bool occluded (Scene::ray_test scene.h:175)."""
-    mode = mode or geom.accel_mode
+    mode = _pick_mode(geom, mode)
     o = jax.lax.stop_gradient(ray.o)
     d = jax.lax.stop_gradient(ray.d)
+    if mode == "tiled":
+        t, _, prim = intersect_tiled(geom, o, d, ray.maxt, any_hit=True)
+        return prim >= 0
     if mode == "bvh":
         t, _, prim = intersect_bvh(geom, o, d, ray.maxt, any_hit=True)
         return prim >= 0

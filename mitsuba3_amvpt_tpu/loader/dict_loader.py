@@ -45,6 +45,9 @@ CONDUCTORS = {
     "none": ([0.0, 0.0, 0.0], [1.0, 1.0, 1.0]),
 }
 
+_SHAPE_TYPES = ("rectangle", "cube", "disk", "cylinder", "sphere", "obj",
+                "ply", "trimesh", "instance", "merge", "shapegroup")
+
 _BSDF_TYPE = {
     "diffuse": bsdf_reg.D_DIFFUSE,
     "conductor": bsdf_reg.D_CONDUCTOR,
@@ -162,6 +165,7 @@ class _Builder:
         self.film = None
         self.integrator = {}
         self.accel = "auto"
+        self.shapegroups = {}    # id -> list of child shape specs
 
     # ---------------- textures ----------------
 
@@ -366,9 +370,30 @@ class _Builder:
 
     # ---------------- shapes ----------------
 
-    def add_shape(self, spec):
+    def add_shape(self, spec, parent_tw=None):
         t = spec["type"]
+        if t == "shapegroup":
+            # deferred definition (src/shapes/shapegroup.cpp): children are
+            # only instantiated through `instance` references
+            return
+        if t == "merge":
+            # merge container (src/shapes/merge.cpp): flatten children
+            for v in spec.values():
+                if isinstance(v, dict) and v.get("type") in _SHAPE_TYPES:
+                    self.add_shape(v, parent_tw)
+            return
+        if t == "instance":
+            gid = spec.get("shapegroup", {})
+            if isinstance(gid, dict):
+                gid = gid.get("id")
+            tw_i = _to_world(spec.get("to_world"))
+            for child in self.shapegroups.get(gid, []):
+                self.add_shape(child, tw_i if parent_tw is None
+                               else parent_tw @ tw_i)
+            return
         tw = _to_world(spec.get("to_world"))
+        if parent_tw is not None:
+            tw = parent_tw @ tw
         shape_id = self.n_shapes
         self.n_shapes += 1
 
@@ -593,11 +618,13 @@ class _Builder:
         F, S = faces.shape[0], sphc.shape[0]
         n_prims = F + S
 
-        # accel: brute for small scenes, BVH beyond
+        # accel: brute for small scenes; beyond, the tiled-cull Pallas
+        # sweep on TPU ("tiled") with the XLA BVH as the CPU fallback
         accel = self.accel
         if accel == "auto":
-            accel = "brute" if n_prims <= 2048 else "bvh"
-        if accel == "bvh" and n_prims > 0:
+            accel = "brute" if n_prims <= 2048 else "tiled"
+        tri_order = np.arange(max(F, 1), dtype=np.int32)
+        if accel in ("bvh", "tiled") and n_prims > 0:
             lo_t, hi_t = (triangle_bounds(verts, faces) if F > 0
                           else (np.zeros((0, 3)), np.zeros((0, 3))))
             lo_s = sphc - sphr[:, None]
@@ -605,6 +632,9 @@ class _Builder:
             lo = np.concatenate([lo_t, lo_s], 0)
             hi = np.concatenate([hi_t, hi_s], 0)
             bvh_bbox, bvh_meta, prim_order = build_bvh(lo, hi)
+            if F > 0:
+                # spatially-coherent triangle order for the tiled tracer
+                _, _, tri_order = build_bvh(lo_t, hi_t)
         else:
             bvh_bbox = np.zeros((1, 2, 3), np.float32)
             bvh_meta = np.zeros((1, 2), np.int32)
@@ -618,7 +648,8 @@ class _Builder:
             sph_center=jnp.asarray(sphc), sph_radius=jnp.asarray(sphr),
             sph_shape=jnp.asarray(sphs),
             bvh_bbox=jnp.asarray(bvh_bbox), bvh_meta=jnp.asarray(bvh_meta),
-            bvh_prim_ids=jnp.asarray(prim_order), accel_mode=accel)
+            bvh_prim_ids=jnp.asarray(prim_order), accel_mode=accel,
+            tri_order=jnp.asarray(tri_order))
 
         # scene bbox
         allpts = [verts] if len(verts) else []
@@ -811,8 +842,11 @@ def load_dict(d: dict, accel: str = "auto") -> Scene:
         elif t in ("point", "constant", "envmap", "directional", "spot",
                    "projector", "directionalarea"):
             b.add_emitter(spec)
-        elif t in ("rectangle", "cube", "disk", "cylinder", "sphere", "obj",
-                   "ply", "trimesh"):
+        elif t == "shapegroup":
+            b.shapegroups[key] = [
+                v for v in spec.values()
+                if isinstance(v, dict) and v.get("type") in _SHAPE_TYPES]
+        elif t in _SHAPE_TYPES:
             b.add_shape(spec)
         elif t in _BSDF_TYPE or t == "twosided":
             b.add_bsdf(spec, name=key)   # top-level named bsdf ('ref' target)

@@ -158,7 +158,6 @@ def ray_triangles_pallas(o, d, maxt, tri_soa, any_hit: bool = False):
 
 def pack_tri_soa(p0, p1, p2):
     """(F, 3) x3 -> (9, F_pad) SoA with degenerate padding."""
-    import numpy as np
     F = p0.shape[0]
     pad = (-F) % TRI_TILE
     soa = jnp.concatenate([jnp.asarray(p0).T, jnp.asarray(p1).T,
@@ -166,3 +165,205 @@ def pack_tri_soa(p0, p1, p2):
     if pad:
         soa = jnp.pad(soa, ((0, 0), (0, pad)))
     return soa
+
+
+# ---------------------------------------------------------------------------
+# Tiled-cull sweep: the large-scene TPU tracer
+# ---------------------------------------------------------------------------
+#
+# Pointer-chasing (BVH traversal) does not map to XLA/TPU: measured
+# ~9 ns/element for dynamic gathers/scatters makes per-node loops ~1000x
+# slower than dense compute (see accel/traverse.py intersect_bvh, kept as
+# the CPU/testing reference).  Instead, irregularity is moved to BLOCK
+# granularity: triangles are reordered into spatially-coherent tiles of
+# TRI_TILE (the C++ SAH builder's leaf-contiguous order), each tile gets
+# an AABB, and the kernel skips a whole tile for a whole ray block with
+# one predicated branch when no ray can hit it.  Everything the hardware
+# executes is dense VPU work; no per-element gathers anywhere.
+#
+# Asymptotics: O(n_tiles) AABB tests + O(hit_tiles * TRI_TILE) triangle
+# tests per ray — the AABB sweep is linear, fine up to a few million
+# triangles; a coarser second level (super-tiles) is the round-2
+# extension, as is Morton-sorting bounce rays to raise block coherence.
+
+
+TILED_GROUPS = 4        # cull granularity: RAY_BLOCK/TILED_GROUPS rays
+
+
+def _tiled_kernel(rays_ref, tris_ref, tb_ref, t_ref, u_ref, v_ref, id_ref,
+                  nskip_ref, *, n_tri_tiles: int, any_hit: bool):
+    B = RAY_BLOCK
+    G = TILED_GROUPS
+    S = B // G
+
+    def comp(r):
+        return [rays_ref[r, pl.ds(g * S, S)] for g in range(G)]
+
+    ox, oy, oz = comp(0), comp(1), comp(2)
+    dx, dy, dz = comp(3), comp(4), comp(5)
+    maxt = comp(6)
+
+    def safe_inv(a):
+        tiny = jnp.where(a >= 0, 1e-20, -1e-20)
+        return 1.0 / jnp.where(jnp.abs(a) > 1e-20, a, tiny)
+
+    idx_ = [safe_inv(v) for v in dx]
+    idy_ = [safe_inv(v) for v in dy]
+    idz_ = [safe_inv(v) for v in dz]
+
+    t_ref[:] = jnp.full((B,), _BIG)
+    u_ref[:] = jnp.zeros((B,))
+    v_ref[:] = jnp.zeros((B,))
+    id_ref[:] = jnp.full((B,), -1, jnp.int32)
+    nskip_ref[:] = jnp.zeros((B,), jnp.int32)
+
+    def tile_sweep(g, i):
+        sl_r = pl.ds(g * S, S)
+        bt = t_ref[sl_r]
+        bu = u_ref[sl_r]
+        bv = v_ref[sl_r]
+        bid = id_ref[sl_r]
+        sl = pl.ds(i * TRI_TILE, TRI_TILE)
+        p0x = tris_ref[0, sl]
+        p0y = tris_ref[1, sl]
+        p0z = tris_ref[2, sl]
+        e1x = tris_ref[3, sl] - p0x
+        e1y = tris_ref[4, sl] - p0y
+        e1z = tris_ref[5, sl] - p0z
+        e2x = tris_ref[6, sl] - p0x
+        e2y = tris_ref[7, sl] - p0y
+        e2z = tris_ref[8, sl] - p0z
+
+        def bx(a):
+            return a[:, None]
+
+        def tx(a):
+            return a[None, :]
+
+        pvx = bx(dy[g]) * tx(e2z) - bx(dz[g]) * tx(e2y)
+        pvy = bx(dz[g]) * tx(e2x) - bx(dx[g]) * tx(e2z)
+        pvz = bx(dx[g]) * tx(e2y) - bx(dy[g]) * tx(e2x)
+        det = tx(e1x) * pvx + tx(e1y) * pvy + tx(e1z) * pvz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx = bx(ox[g]) - tx(p0x)
+        tvy = bx(oy[g]) - tx(p0y)
+        tvz = bx(oz[g]) - tx(p0z)
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * tx(e1z) - tvz * tx(e1y)
+        qvy = tvz * tx(e1x) - tvx * tx(e1z)
+        qvz = tvx * tx(e1y) - tvy * tx(e1x)
+        v = (bx(dx[g]) * qvx + bx(dy[g]) * qvy + bx(dz[g]) * qvz) * inv_det
+        t = (tx(e2x) * qvx + tx(e2y) * qvy + tx(e2z) * qvz) * inv_det
+        hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+               & (u + v <= 1.0) & (t > 0.0) & (t < bx(maxt[g]))
+               & (t < bx(bt)))
+        t = jnp.where(hit, t, _BIG)
+        k = jnp.argmin(t, axis=1)
+        tk = jnp.min(t, axis=1)
+        upd = tk < bt
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, TRI_TILE), 1)
+        sel = cols == k[:, None]
+        uk = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
+        vk = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
+        t_ref[sl_r] = jnp.where(upd, tk, bt)
+        u_ref[sl_r] = jnp.where(upd, uk, bu)
+        v_ref[sl_r] = jnp.where(upd, vk, bv)
+        id_ref[sl_r] = jnp.where(upd, i * TRI_TILE + k, bid)
+
+    def tile_body(i, _):
+        # block-level cull at sub-group granularity: slab test of each
+        # ray group vs this tile's AABB (AABB rows are (n_tiles, 128)
+        # with 6 used lanes — dynamic indexing is only cheap on the
+        # sublane dimension)
+        row = tb_ref[i, :]
+        for g in range(G):
+            t0x = (row[0] - ox[g]) * idx_[g]
+            t1x = (row[3] - ox[g]) * idx_[g]
+            t0y = (row[1] - oy[g]) * idy_[g]
+            t1y = (row[4] - oy[g]) * idy_[g]
+            t0z = (row[2] - oz[g]) * idz_[g]
+            t1z = (row[5] - oz[g]) * idz_[g]
+            tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                           jnp.minimum(t0y, t1y)),
+                               jnp.minimum(t0z, t1z))
+            tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                           jnp.maximum(t0y, t1y)),
+                               jnp.maximum(t0z, t1z))
+            lim = jnp.minimum(t_ref[pl.ds(g * S, S)], maxt[g])
+            hit_box = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < lim)
+            any_box = jnp.any(hit_box)
+
+            # @pl.when gives real predicated skip (lax.cond can lower
+            # to a select that executes both branches on the VPU)
+            @pl.when(any_box)
+            def _(g=g, i=i):
+                tile_sweep(g, i)
+        return 0
+
+    jax.lax.fori_loop(0, n_tri_tiles, tile_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def ray_triangles_tiled(o, d, maxt, tri_soa, tile_aabb, any_hit: bool = False):
+    """Tiled-cull closest-hit sweep for large scenes.
+
+    tri_soa: (9, F_pad) in *spatially-clustered* order; tile_aabb:
+    (6, n_tiles) AABBs of consecutive TRI_TILE-triangle tiles.
+    Returns (t, u, v, clustered_prim_id)."""
+    n = o.shape[0]
+    pad = (-n) % RAY_BLOCK
+    rays = jnp.concatenate([o.T, d.T, maxt[None]], axis=0)
+    if pad:
+        rays = jnp.pad(rays, ((0, 0), (0, pad)))
+    n_pad = n + pad
+    F_pad = tri_soa.shape[1]
+    n_tri_tiles = F_pad // TRI_TILE
+    # (n_tiles, 128) row layout: lanes 0..5 = [lo.xyz, hi.xyz]
+    tb_rows = jnp.zeros((n_tri_tiles, 128), jnp.float32)
+    tb_rows = tb_rows.at[:, 0:6].set(tile_aabb.T)
+
+    grid = (n_pad // RAY_BLOCK,)
+    kernel = functools.partial(_tiled_kernel, n_tri_tiles=n_tri_tiles,
+                               any_hit=any_hit)
+    ray_spec = pl.BlockSpec((RAY_BLOCK,), lambda i: (i,),
+                            memory_space=pltpu.VMEM)
+    t, u, v, pid, nskip = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((7, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, F_pad), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri_tiles, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+        ],
+    )(rays, tri_soa, tb_rows)
+    t = jnp.where(t >= _BIG * 0.5, jnp.inf, t)
+    return t[:n], u[:n], v[:n], pid[:n]
+
+
+def pack_tiles(p0, p1, p2):
+    """Clustered-order tri SoA + per-tile AABBs.  Inputs must already be
+    in spatially-coherent order (BVH leaf order).  Returns
+    (soa (9, F_pad), tile_aabb (6, n_tiles))."""
+    soa = pack_tri_soa(p0, p1, p2)
+    F_pad = soa.shape[1]
+    n_tiles = F_pad // TRI_TILE
+    pts = soa.reshape(3, 3, F_pad)          # (vertex, axis, tri)
+    F = p0.shape[0]
+    # mask padding tris out of the last tile's bounds
+    valid = (jnp.arange(F_pad) < F)
+    lo_pts = jnp.where(valid, pts, 1e30)
+    hi_pts = jnp.where(valid, pts, -1e30)
+    lo = jnp.min(lo_pts.reshape(3, 3, n_tiles, TRI_TILE).min(0), axis=-1)
+    hi = jnp.max(hi_pts.reshape(3, 3, n_tiles, TRI_TILE).max(0), axis=-1)
+    return soa, jnp.concatenate([lo, hi], axis=0)

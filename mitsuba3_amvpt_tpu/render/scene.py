@@ -57,6 +57,9 @@ class GeometryArrays:
     bvh_meta: jnp.ndarray    # (M, 2) int32
     bvh_prim_ids: jnp.ndarray  # (P,) int32
     accel_mode: str = struct.field(pytree_node=False, default="brute")
+    # spatially-coherent triangle permutation for the tiled-cull Pallas
+    # tracer (ops/isect.py ray_triangles_tiled); identity if unused
+    tri_order: jnp.ndarray = None  # (F,) int32
 
     @property
     def tri_p0(self):
