@@ -230,7 +230,8 @@ class _Builder:
                 if bm is not None:
                     _, bump_tex = self.resolve_texture(bm)
             elif t0 in ("mask", "blendbsdf"):
-                pass  # parity gap: unwrap to the nested bsdf (round 2)
+                return self._wrapper_row(spec, twosided, normal_tex,
+                                         bump_tex)
             else:
                 break
             inner = spec.get("bsdf")
@@ -335,7 +336,39 @@ class _Builder:
                     alpha=alpha, alpha_tex=alpha_tex, eta_c=eta_c, k_c=k_c,
                     eta=eta, spec_refl=spec_refl, spec_trans=spec_trans,
                     twosided=twosided, fdr_int=fdr, spec_weight=sw,
-                    extra=extra, normal_tex=normal_tex, bump_tex=bump_tex)
+                    extra=extra, normal_tex=normal_tex, bump_tex=bump_tex,
+                    child_a=-1, child_b=-1)
+
+    def _wrapper_row(self, spec, twosided, normal_tex, bump_tex):
+        """blendbsdf / mask rows (src/bsdfs/{blendbsdf,mask}.cpp):
+        children are separate material rows referenced by index."""
+        t = spec["type"]
+        nested = [v for k, v in spec.items()
+                  if isinstance(v, dict) and "type" in v
+                  and k not in ("weight", "opacity")
+                  and (v.get("type") in _BSDF_TYPE
+                       or v.get("type") in ("twosided", "normalmap",
+                                            "bumpmap", "mask", "blendbsdf",
+                                            "ref"))]
+        if t == "blendbsdf":
+            wspec = spec.get("weight", 0.5)
+            child_a = self.add_bsdf(nested[0] if nested else None)
+            child_b = self.add_bsdf(nested[1] if len(nested) > 1 else None)
+            mtype = bsdf_reg.D_BLEND
+        else:  # mask
+            wspec = spec.get("opacity", 0.5)
+            child_a = self.add_bsdf(nested[0] if nested else None)
+            child_b = self.add_bsdf({"type": "null"})
+            mtype = bsdf_reg.D_MASK
+        wval, wtex = self.resolve_texture(wspec)
+        w0 = float(np.mean(wval))
+        return dict(mtype=mtype, albedo=np.array([w0, w0, w0]),
+                    albedo_tex=wtex, alpha=np.array([0.1, 0.1]),
+                    alpha_tex=-1, eta_c=np.zeros(3), k_c=np.ones(3),
+                    eta=1.5, spec_refl=np.ones(3), spec_trans=np.ones(3),
+                    twosided=twosided, fdr_int=0.0, spec_weight=0.5,
+                    extra=np.zeros(10), normal_tex=normal_tex,
+                    bump_tex=bump_tex, child_a=child_a, child_b=child_b)
 
     # ---------------- media ----------------
 
@@ -402,7 +435,9 @@ class _Builder:
             bsdf_spec = next(
                 (v for k, v in spec.items()
                  if isinstance(v, dict)
-                 and v.get("type") in (*_BSDF_TYPE, "twosided", "ref")
+                 and v.get("type") in (*_BSDF_TYPE, "twosided", "ref",
+                                       "mask", "blendbsdf", "normalmap",
+                                       "bumpmap")
                  and k != "emitter"),
                 None)
         mat_idx = self.add_bsdf(bsdf_spec)
@@ -711,6 +746,8 @@ class _Builder:
             fdr_int=col("fdr_int"), spec_weight=col("spec_weight"),
             extra=col("extra"), normal_tex=col("normal_tex", np.int32),
             bump_tex=col("bump_tex", np.int32),
+            child_a=col("child_a", np.int32),
+            child_b=col("child_b", np.int32),
             has_shading_maps=has_maps,
             types_present=tuple(sorted({int(r["mtype"]) for r in rows})))
 
@@ -848,7 +885,8 @@ def load_dict(d: dict, accel: str = "auto") -> Scene:
                 if isinstance(v, dict) and v.get("type") in _SHAPE_TYPES]
         elif t in _SHAPE_TYPES:
             b.add_shape(spec)
-        elif t in _BSDF_TYPE or t == "twosided":
+        elif t in _BSDF_TYPE or t in ("twosided", "mask", "blendbsdf",
+                                      "normalmap", "bumpmap"):
             b.add_bsdf(spec, name=key)   # top-level named bsdf ('ref' target)
         elif t in ("independent", "stratified", "multijitter", "orthogonal",
                    "ldsampler"):

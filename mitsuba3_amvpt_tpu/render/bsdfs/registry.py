@@ -40,6 +40,8 @@ D_ROUGHPLASTIC = 6
 D_THINDIELECTRIC = 7
 D_NULL = 8
 D_PRINCIPLED = 9
+D_BLEND = 10      # blendbsdf.cpp: weight-mix of two children
+D_MASK = 11       # mask.cpp: opacity-mix of child and null transmission
 
 _SMOOTH_TYPES = (D_DIFFUSE, D_ROUGHCONDUCTOR, D_ROUGHDIELECTRIC,
                  D_PLASTIC, D_ROUGHPLASTIC)
@@ -70,6 +72,9 @@ class MaterialTable:
     extra: jnp.ndarray = None     # (M, 10)
     normal_tex: jnp.ndarray = None  # (M,) int32 normal-map texture or -1
     bump_tex: jnp.ndarray = None    # (M,) int32 bump-map texture or -1
+    # blend/mask children: material row indices (-1 = none)
+    child_a: jnp.ndarray = None   # (M,) int32
+    child_b: jnp.ndarray = None   # (M,) int32
 
 
 def apply_shading_maps(scene, si):
@@ -600,13 +605,51 @@ _FLIPPABLE = (D_DIFFUSE, D_CONDUCTOR, D_ROUGHCONDUCTOR, D_PLASTIC,
               D_ROUGHPLASTIC, D_PRINCIPLED)
 
 
+def _blend_weight(scene, si):
+    """Blend weight / mask opacity (stored in the albedo slot)."""
+    mt = scene.materials
+    i = jnp.maximum(si.material_index, 0)
+    w = mt.albedo[i][..., 0]
+    wtex = mt.albedo_tex[i]
+    wt = scene.textures.eval_bilinear(jnp.maximum(wtex, 0), si.uv)[..., 0]
+    return jnp.where(wtex >= 0, wt, w)
+
+
+def _resolve_children(scene, si, u_sel):
+    """For blend/mask rows: stochastically redirect material_index to a
+    child (blendbsdf.cpp sample / mask.cpp sample); returns
+    (si_resolved, is_wrapper, w, child pick info)."""
+    mt = scene.materials
+    i = jnp.maximum(si.material_index, 0)
+    t = mt.mtype[i]
+    is_blend = t == D_BLEND
+    is_mask = t == D_MASK
+    w = _blend_weight(scene, si)
+    pick_a = u_sel < w
+    child = jnp.where(pick_a, mt.child_a[i], mt.child_b[i])
+    # mask: child_b slot holds a null row (pass-through)
+    new_idx = jnp.where((is_blend | is_mask) & (child >= 0), child,
+                        si.material_index)
+    return si.replace(material_index=new_idx), is_blend | is_mask, w, pick_a
+
+
 def bsdf_sample(scene, si, u1, u2):
     """Dispatch BSDFSample over present types (bsdf.h ``sample``).
 
     The returned wo is expressed in the CALLER's (unperturbed) shading
-    frame even when normal/bump maps perturb the internal frame."""
+    frame even when normal/bump maps perturb the internal frame.
+    blend/mask wrappers stochastically select a child using extra bits
+    of u1; their pdf/weight composition matches blendbsdf.cpp (the
+    sampled child's quantities scaled by the discrete pick pdf cancel).
+    """
     si_orig = si
     si = apply_shading_maps(scene, si)
+    mt_tbl = scene.materials
+    if D_BLEND in mt_tbl.types_present or D_MASK in mt_tbl.types_present:
+        from ...core.rng import sample_tea_32, bits_to_float01
+        u_sel = bits_to_float01(sample_tea_32(
+            (u1 * 16777216.0).astype(jnp.uint32), jnp.uint32(0x51), 4)[0])
+        si, _, _, _ = _resolve_children(scene, si, u_sel)
     p = _gather_params(scene, si)
     wi = si.wi
     n = wi.shape[0]
@@ -616,6 +659,8 @@ def bsdf_sample(scene, si, u1, u2):
         sampled_transmission=jnp.zeros((n,), bool),
         weight=jnp.zeros((n, 3)))
     for t in scene.materials.types_present:
+        if t in (D_BLEND, D_MASK):
+            continue   # resolved to children above
         mask = p["mtype"] == t
         if t in _FLIPPABLE:
             wi_t, fz = _flip(p, wi)
@@ -635,21 +680,15 @@ def bsdf_sample(scene, si, u1, u2):
     return out
 
 
-def bsdf_eval_pdf(scene, si, wo):
-    """Dispatch (f*cos, pdf) (bsdf.h:455 ``eval_pdf``).
-
-    NOTE: wo must be in si's *unperturbed* local frame; shading maps
-    re-express both wi and wo consistently."""
-    si_m = apply_shading_maps(scene, si)
-    if si_m is not si:
-        wo = si_m.to_local(si.to_world(wo))
-    si = si_m
+def _eval_pdf_inner(scene, si, wo):
     p = _gather_params(scene, si)
     wi = si.wi
     n = wi.shape[0]
     f_out = jnp.zeros((n, 3))
     pdf_out = jnp.zeros((n,))
     for t in scene.materials.types_present:
+        if t in (D_BLEND, D_MASK):
+            continue
         mask = p["mtype"] == t
         if t in _FLIPPABLE:
             wi_t, wo_t, _ = _flip(p, wi, wo)
@@ -659,6 +698,37 @@ def bsdf_eval_pdf(scene, si, wo):
         f_out = jnp.where(mask[..., None], f, f_out)
         pdf_out = jnp.where(mask, pdf, pdf_out)
     return f_out, pdf_out
+
+
+def bsdf_eval_pdf(scene, si, wo):
+    """Dispatch (f*cos, pdf) (bsdf.h:455 ``eval_pdf``).
+
+    NOTE: wo must be in si's *unperturbed* local frame; shading maps
+    re-express both wi and wo consistently.  blend: w*f_a + (1-w)*f_b;
+    mask: o*f_child (the delta pass-through has zero eval)."""
+    si_m = apply_shading_maps(scene, si)
+    if si_m is not si:
+        wo = si_m.to_local(si.to_world(wo))
+    si = si_m
+    mt = scene.materials
+    if D_BLEND not in mt.types_present and D_MASK not in mt.types_present:
+        return _eval_pdf_inner(scene, si, wo)
+
+    i = jnp.maximum(si.material_index, 0)
+    t = mt.mtype[i]
+    is_blend = t == D_BLEND
+    is_mask = t == D_MASK
+    w = _blend_weight(scene, si)
+    ca = jnp.where(is_blend | is_mask, mt.child_a[i], si.material_index)
+    cb = jnp.where(is_blend, mt.child_b[i], si.material_index)
+    f_a, p_a = _eval_pdf_inner(scene, si.replace(material_index=ca), wo)
+    f_b, p_b = _eval_pdf_inner(scene, si.replace(material_index=cb), wo)
+    f = jnp.where(is_blend[..., None],
+                  w[..., None] * f_a + (1.0 - w[..., None]) * f_b,
+                  jnp.where(is_mask[..., None], w[..., None] * f_a, f_a))
+    pdf = jnp.where(is_blend, w * p_a + (1.0 - w) * p_b,
+                    jnp.where(is_mask, w * p_a, p_a))
+    return f, pdf
 
 
 def bsdf_flags_delta(scene, si):

@@ -1,0 +1,206 @@
+"""Tests for the auxiliary components: LargeSteps, blend/mask BSDFs,
+XML loader, instances, metrics, quilt tools, optimizers."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mitsuba3_amvpt_tpu as mt
+from mitsuba3_amvpt_tpu.ad.largesteps import LargeSteps
+from mitsuba3_amvpt_tpu.ad.optimizers import SGD, Adam
+from mitsuba3_amvpt_tpu.loader.meshes import sphere_mesh
+from mitsuba3_amvpt_tpu.loader.xml_loader import load_string
+from mitsuba3_amvpt_tpu.utils import metrics, quilt
+
+
+class TestLargeSteps:
+    def test_roundtrip(self):
+        v, f, _, _ = sphere_mesh(res=8)
+        ls = LargeSteps(v, f, lambda_=5.0, cg_iters=200, cg_tol=1e-8)
+        verts = jnp.asarray(v, jnp.float32)
+        u = ls.to_differential(verts)
+        v_back = ls.from_differential(u)
+        assert float(jnp.abs(v_back - verts).max()) < 1e-3
+
+    def test_smoothing_effect(self):
+        """A noisy latent step maps to a SMOOTH vertex perturbation."""
+        v, f, _, _ = sphere_mesh(res=8)
+        ls = LargeSteps(v, f, lambda_=19.0, cg_iters=200)
+        rng = np.random.default_rng(0)
+        noise = jnp.asarray(rng.normal(size=v.shape), jnp.float32)
+        dv = ls.from_differential(noise)
+        # smoothness: Laplacian magnitude of the mapped noise is much
+        # smaller than that of the raw noise
+        ln = float(jnp.abs(ls._laplacian(noise)).mean())
+        ld = float(jnp.abs(ls._laplacian(dv)).mean())
+        assert ld < 0.2 * ln
+
+
+class TestBlendMask:
+    def test_blend_ratio(self):
+        d = {
+            "type": "scene",
+            "sensor": {"type": "perspective", "fov": 30,
+                       "to_world": {"lookat": {"origin": [0, 2, 2],
+                                               "target": [0, 0, 0],
+                                               "up": [0, 1, 0]}},
+                       "film": {"type": "hdrfilm", "width": 12, "height": 12,
+                                "rfilter": {"type": "box"}}},
+            "floor": {"type": "rectangle",
+                      "to_world": {"ops": [{"rotate": {"axis": [1, 0, 0],
+                                                       "angle": -90}},
+                                           {"scale": [4, 4, 4]}]},
+                      "bsdf": {"type": "blendbsdf", "weight": 0.3,
+                               "a": {"type": "diffuse",
+                                     "reflectance": [0.8, 0.0, 0.0]},
+                               "b": {"type": "diffuse",
+                                     "reflectance": [0.0, 0.8, 0.0]}}},
+            "light": {"type": "point", "position": [0, 3, 0],
+                      "intensity": 10.0},
+        }
+        sc = mt.load_dict(d)
+        img = np.asarray(mt.render(sc, spp=128, max_depth=2, seed=0))
+        px = img[6, 6]
+        assert px[0] / (px[0] + px[1]) == pytest.approx(0.3, abs=0.03)
+
+    def test_mask_transmits(self):
+        d = {
+            "type": "scene",
+            "sensor": {"type": "perspective", "fov": 20,
+                       "to_world": {"lookat": {"origin": [0, 0, 3],
+                                               "target": [0, 0, 0],
+                                               "up": [0, 1, 0]}},
+                       "film": {"type": "hdrfilm", "width": 12, "height": 12,
+                                "rfilter": {"type": "box"}}},
+            "screen": {"type": "rectangle",
+                       "bsdf": {"type": "mask", "opacity": 0.25,
+                                "a": {"type": "diffuse",
+                                      "reflectance": 0.0}}},
+            "wall": {"type": "rectangle",
+                     "to_world": {"ops": [{"translate": [0, 0, -1]}]},
+                     "bsdf": {"type": "diffuse", "reflectance": 0.0},
+                     "emitter": {"type": "area", "radiance": 2.0}},
+        }
+        sc = mt.load_dict(d)
+        img = np.asarray(mt.render(sc, spp=256, max_depth=4, seed=0))
+        # 75% of light passes the mask: 2.0 * 0.75 = 1.5
+        assert img[6, 6].mean() == pytest.approx(1.5, rel=0.08)
+
+
+class TestXML:
+    def test_load_string(self):
+        xml = """
+        <scene version="3.0.0">
+          <default name="res" value="8"/>
+          <sensor type="perspective">
+            <float name="fov" value="40"/>
+            <transform name="to_world">
+              <lookat origin="0, 0, 3" target="0, 0, 0" up="0, 1, 0"/>
+            </transform>
+            <film type="hdrfilm">
+              <integer name="width" value="$res"/>
+              <integer name="height" value="$res"/>
+              <rfilter type="box"/>
+            </film>
+          </sensor>
+          <bsdf type="diffuse" id="white">
+            <rgb name="reflectance" value="0.6, 0.5, 0.4"/>
+          </bsdf>
+          <shape type="rectangle">
+            <ref id="white"/>
+            <transform name="to_world">
+              <rotate x="1" y="0" z="0" angle="-90"/>
+              <translate value="0, -1, 0"/>
+            </transform>
+          </shape>
+          <emitter type="point">
+            <point name="position" value="0, 2, 0"/>
+            <rgb name="intensity" value="8"/>
+          </emitter>
+        </scene>
+        """
+        sc = load_string(xml)
+        img = np.asarray(mt.render(sc, spp=32, max_depth=2, seed=0))
+        assert np.isfinite(img).all()
+        assert img.max() > 0.01
+        # reflectance tint shows up
+        lit = img.reshape(-1, 3).sum(-1)
+        px = img.reshape(-1, 3)[lit.argmax()]
+        assert px[0] > px[2]
+
+    def test_param_substitution(self):
+        from mitsuba3_amvpt_tpu.loader.xml_loader import xml_to_dict
+        d = xml_to_dict(text="""
+        <scene version="3.0.0">
+          <default name="spp" value="4"/>
+          <integrator type="path">
+            <integer name="max_depth" value="$depth"/>
+          </integrator>
+        </scene>""", params={"depth": 7})
+        assert d["integrator_1"]["max_depth"] == 7
+
+
+class TestInstances:
+    def test_shapegroup_instances(self):
+        d = {
+            "type": "scene",
+            "sensor": {"type": "perspective", "fov": 60,
+                       "to_world": {"lookat": {"origin": [0, 0, 4],
+                                               "target": [0, 0, 0],
+                                               "up": [0, 1, 0]}},
+                       "film": {"type": "hdrfilm", "width": 16, "height": 16,
+                                "rfilter": {"type": "box"}}},
+            "grp": {"type": "shapegroup",
+                    "s": {"type": "sphere", "radius": 0.4,
+                          "bsdf": {"type": "diffuse", "reflectance": 0.5}}},
+            "i1": {"type": "instance", "shapegroup": {"id": "grp"},
+                   "to_world": {"translate": [-1, 0, 0]}},
+            "i2": {"type": "instance", "shapegroup": {"id": "grp"},
+                   "to_world": {"translate": [1, 0, 0]}},
+            "env": {"type": "constant", "radiance": 1.0},
+        }
+        sc = mt.load_dict(d)
+        assert sc.geom.sph_center.shape[0] == 2
+        img = np.asarray(mt.render(sc, spp=16, max_depth=2, seed=0))
+        assert np.isfinite(img).all()
+
+
+class TestUtils:
+    def test_metrics(self):
+        a = np.random.default_rng(0).random((8, 8, 3))
+        assert metrics.mse(a, a) == 0.0
+        assert metrics.psnr(a, a) > 100
+        b = a + 0.1
+        assert metrics.mse(a, b) > 0
+
+    def test_quilt_roundtrip(self):
+        rng = np.random.default_rng(0)
+        q = rng.random((32, 64, 3), np.float32)
+        views = quilt.quilt_slice(q, (4, 2))
+        assert len(views) == 8 and views[0].shape == (16, 16, 3)
+        back = quilt.quilt_assemble(views, (4, 2))
+        assert np.array_equal(back, q)
+
+    def test_lenticular(self):
+        q = np.random.default_rng(0).random((48, 64, 3), np.float32)
+        p = quilt.LKGPreset(n_views=8, grid=(4, 2))
+        out = np.asarray(quilt.lenticular_interleave(q, p, out_res=(64, 48)))
+        assert out.shape == (48, 64, 3)
+        assert np.isfinite(out).all()
+
+    def test_presets_csv(self, tmp_path):
+        p = quilt.LKGPreset(name="test", n_views=48)
+        path = str(tmp_path / "presets.csv")
+        quilt.save_presets(path, [p])
+        loaded = quilt.load_presets(path)
+        assert loaded[0].name == "test" and loaded[0].n_views == 48
+
+    def test_optimizers(self):
+        def loss(x):
+            return float(((x - 3.0) ** 2).sum())
+        for opt in (Adam(0.2, {"x": jnp.zeros(4)}),
+                    SGD(0.1, {"x": jnp.zeros(4)}, momentum=0.5)):
+            for _ in range(100):
+                g = 2 * (opt["x"] - 3.0)
+                opt.step({"x": g})
+            assert loss(opt["x"]) < 1e-2
