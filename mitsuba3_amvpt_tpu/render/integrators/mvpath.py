@@ -131,7 +131,9 @@ def mvpath_pass(scene, acc, seed, spp_pass: int, max_depth: int = 6,
     w_adapt = 1.0 / (n_adapt + 1.0)
     for i, (spos, val, fw, sactive) in enumerate(splats):
         if i == 0 and n_adapt > 0:
-            fw = fw * jnp.where(adapt_mask, w_adapt, 1.0)
+            # down-weight only the primary-view samples (the first n
+            # lanes of the flattened (S*n,) group splat)
+            fw = fw.at[:n].multiply(jnp.where(adapt_mask, w_adapt, 1.0))
         acc = film_put(scene.film, acc, spos, val, weight=fw,
                        active=sactive)
 
@@ -156,15 +158,40 @@ def mvpath_pass(scene, acc, seed, spp_pass: int, max_depth: int = 6,
 
 def _sample_multi(scene, ray, pos, p_view, sampler, S, max_depth, rr_depth,
                   sa_mis, u_lens):
-    """Core multi-view estimator (mvpath_multi.h:130 sample_multi)."""
+    """Core multi-view estimator (mvpath_multi.h:130 sample_multi).
+
+    Vectorized over the reuse group: per-view quantities are (S, N)
+    arrays (s = 0 is the primary view), so the whole group costs ONE
+    batched sample_surface, ONE shadow trace, ONE batched BSDF eval and
+    ONE film scatter — instead of S unrolled copies of each (an S x
+    smaller trace graph and S x fewer kernel launches than the naive
+    transcription; compile time on TPU dropped from >10 min to normal).
+    """
     sensor = scene.sensor
     n = ray.o.shape[0]
     vw, vh = sensor.resolution
 
     si = scene.ray_intersect(ray)
     p_hit = si.is_valid
+    return _sample_multi_batched(scene, si, ray, pos, p_view, sampler, S,
+                                 max_depth, rr_depth, sa_mis, u_lens,
+                                 p_hit)
 
-    # ---- direct emission -> primary only (mvpath_multi.h:148-156)
+
+def _tile_si(si, S):
+    """Broadcast a SurfaceInteraction to (S*N,) lanes."""
+    import jax
+    return jax.tree_util.tree_map(
+        lambda x: jnp.tile(x, (S,) + (1,) * (x.ndim - 1)), si)
+
+
+def _sample_multi_batched(scene, si, ray, pos, p_view, sampler, S,
+                          max_depth, rr_depth, sa_mis, u_lens, p_hit):
+    sensor = scene.sensor
+    n = ray.o.shape[0]
+    vw, vh = sensor.resolution
+
+    # ---- direct emission -> primary view only (mvpath_multi.h:148-156)
     result0 = scene.eval_emitter(si, p_hit)
     result0 = result0 + jnp.where((~p_hit)[..., None],
                                   scene.eval_environment(ray.d), 0.0)
@@ -183,7 +210,6 @@ def _sample_multi(scene, ray, pos, p_view, sampler, S, max_depth, rr_depth,
     # ---- primary BSDF eval (NEE dir) + sample (shared randoms)
     rand_1, sampler = sampler.next_1d()
     rand_2, sampler = sampler.next_2d()
-    f_nee0, pdf_nee0 = bsdf_eval_pdf(scene, si, wo_nee)
     bs0 = bsdf_sample(scene, si, rand_1, rand_2)
     flag_delta = bs0.sampled_delta
     not_delta = ~flag_delta
@@ -196,158 +222,164 @@ def _sample_multi(scene, ray, pos, p_view, sampler, S, max_depth, rr_depth,
     group_base = (p_view // S) * S
     p_local = p_view % S
 
-    # ---- primary view film pdf / Jacobian (sensors_visible<true>)
-    surf0 = sensor.sample_surface(p_view, si.p, si.sh_n, u_lens)
-    p_pdf0 = surf0["pdf"]
-    Jp0 = surf0["Jp"]
-    iJp0 = jnp.where(p_hit, m.safe_div(1.0, Jp0), 0.0)
+    # ---- batched reprojection into all S group cameras ----
+    cams = (group_base[None, :] + (p_local[None, :]
+            + jnp.arange(S)[:, None]) % S)            # (S, N)
+    p_rep = jnp.tile(si.p, (S, 1))
+    n_rep = jnp.tile(si.sh_n, (S, 1))
+    ul_rep = jnp.tile(u_lens, (S, 1))
+    surf = sensor.sample_surface(cams.reshape(-1), p_rep, n_rep, ul_rep)
+    Jp = surf["Jp"].reshape(S, n)
+    p_pdf_all = surf["pdf"].reshape(S, n)
+    s_vis = surf["visible"].reshape(S, n)
+    s_face = surf["face"].reshape(S, n)
+    s_uv = surf["uv"].reshape(S, n, 2)
+    s_d = surf["d"].reshape(S, n, 3)
+    s_p = surf["p"].reshape(S, n, 3)
+
     prim_face = m.cos_theta(si.wi) > 0.0
+    iJp0 = jnp.where(p_hit, m.safe_div(1.0, Jp[0]), 0.0)
     wo_r0 = m.reflect(si.wi)
     pdfM0 = jnp.where(diffuse, 1.0, _pdfM(si.wi))
 
-    # per-view records
-    cams = [p_view]
-    wi_k = [si.wi]
-    wo_r = [wo_r0]
-    pdfMk = [pdfM0]
-    Jp = [Jp0]
-    p_pdf = [p_pdf0]
-    pdf_lk = [p_pdf0]
-    accepted = [p_hit]
-    f_nee = [f_nee0]
-    uv_k = [None]
-    direct_pdf_sum = jnp.where(active_em & (pdf_nee0 > 0), pdf_nee0, 0.0)
-    n_direct = 1.0 + jnp.zeros((n,))
-    wo_shared = bs0.wo
-    indirect = [p_hit]
-    res_count = jnp.full((n,), 2.0)   # reservoir size counter (ref: n_indir=2)
+    # incident directions per view, local frame (S, N, 3)
+    wi_k = m.frame_to_local(si.sh_n[None], si.sh_s[None], si.sh_t[None],
+                            s_d)
+    wi_k = wi_k.at[0].set(si.wi)
+    wo_r = m.reflect(wi_k.reshape(-1, 3)).reshape(S, n, 3)
+    pdfMk = _pdfM(wi_k.reshape(-1, 3)).reshape(S, n)
+    pdfMk = pdfMk.at[0].set(pdfM0)
 
+    # ---- one shadow trace toward all S-1 secondary cameras ----
+    si_rep = _tile_si(si, S - 1)
+    cam_rays = si_rep.spawn_ray_to(s_p[1:].reshape(-1, 3))
+    occluded = scene.ray_test(cam_rays).reshape(S - 1, n)
+
+    # ---- stochastic camera selection (mvpath_multi.h:371-464) ----
+    pdf_mat0k = tv_pdf_fast(jnp.tile(wo_r0, (S, 1)),
+                            wi_k.reshape(-1, 3),
+                            pdfMk.reshape(-1),
+                            jnp.tile(alpha, S),
+                            jnp.tile(diffuse, S)).reshape(S, n)
+    J = Jp * iJp0[None]
+    pdf_J = jnp.where(J > 1.0, m.safe_div(1.0, J), J)
+    pdf_sel = pdf_mat0k * pdf_J
+    u_sels = []
     for s in range(1, S):
-        cam = group_base + (p_local + s) % S
-        cams.append(cam)
-        surf = sensor.sample_surface(cam, si.p, si.sh_n, u_lens)
-        valid = surf["visible"] & (surf["face"] == prim_face) \
-            & (surf["Jp"] > 0.0) & reuse
-        # shadow ray toward the camera
-        cam_ray = si.spawn_ray_to(surf["p"])
-        valid = valid & ~scene.ray_test(cam_ray)
+        u_s, sampler = sampler.next_1d()
+        u_sels.append(u_s)
+    u_sel = jnp.stack(u_sels, 0) if S > 1 else jnp.zeros((0, n))
+    valid_k = jnp.concatenate([
+        p_hit[None],
+        (s_vis[1:] & (s_face[1:] == prim_face[None]) & (Jp[1:] > 0.0)
+         & reuse[None] & ~occluded & (u_sel < pdf_sel[1:]))], axis=0)
+    p_pdf = jnp.where(valid_k, p_pdf_all, 0.0)
+    pdf_lk = jnp.concatenate([
+        p_pdf_all[:1],
+        jnp.where(valid_k[1:], p_pdf_all[:1] * J[1:] * pdf_sel[1:], 0.0)],
+        axis=0)
 
-        wik = si.to_local(surf["d"])
-        wi_k.append(wik)
-        wo_r.append(m.reflect(wik))
-        pMk = _pdfM(wik)
-        pdfMk.append(pMk)
-        pdf_mat = tv_pdf_fast(wo_r0, wik, pMk, alpha, diffuse)
-        J = surf["Jp"] * iJp0
-        pdf_J = jnp.where(J > 1.0, m.safe_div(1.0, J), J)
-        pdf_sel = pdf_mat * pdf_J
-        u_sel, sampler = sampler.next_1d()
-        valid = valid & (u_sel < pdf_sel)
-        accepted.append(valid)
-        Jp.append(surf["Jp"])
-        p_pdf.append(jnp.where(valid, surf["pdf"], 0.0))
-        pdf_lk.append(jnp.where(valid, p_pdf0 * J * pdf_sel, 0.0))
-        uv_k.append(surf["uv"])
+    # ---- per-view NEE eval + candidate samples (same rand_1/rand_2) --
+    si_all = _tile_si(si, S)
+    si_all = si_all.replace(wi=wi_k.reshape(-1, 3))
+    f_nee_flat, pdf_nee_flat = bsdf_eval_pdf(scene, si_all,
+                                             jnp.tile(wo_nee, (S, 1)))
+    f_nee = f_nee_flat.reshape(S, n, 3)
+    pdf_nee_k = pdf_nee_flat.reshape(S, n)
+    direct_k = valid_k & (pdf_nee_k > 0.0)
+    direct_k = direct_k.at[0].set(active_em & (pdf_nee_k[0] > 0.0))
+    direct_pdf = m.safe_div(jnp.sum(jnp.where(direct_k, pdf_nee_k, 0.0), 0),
+                            jnp.maximum(jnp.sum(direct_k, 0), 1))
 
-        # per-view NEE eval + candidate sample (same rand_1/rand_2)
-        si_k = si.replace(wi=wik)
-        f_k, pdf_k = bsdf_eval_pdf(scene, si_k, wo_nee)
-        f_nee.append(f_k)
-        direct = valid & (pdf_k > 0.0)
-        direct_pdf_sum = direct_pdf_sum + jnp.where(direct, pdf_k, 0.0)
-        n_direct = n_direct + direct.astype(jnp.float32)
+    bs_all = bsdf_sample(scene, si_all, jnp.tile(rand_1, S),
+                         jnp.tile(rand_2, (S, 1)))
+    wo_cand = bs_all.wo.reshape(S, n, 3)
+    same_lobe = ((bs_all.sampled_delta.reshape(S, n) == flag_delta[None])
+                 & (bs_all.sampled_transmission.reshape(S, n)
+                    == bs0.sampled_transmission[None]))
 
-        bs_k = bsdf_sample(scene, si_k, rand_1, rand_2)
-        ind_k = valid & (bs_k.sampled_delta == flag_delta) \
-            & (bs_k.sampled_transmission == bs0.sampled_transmission)
+    # reservoir replacement of the shared continuation direction
+    wo_shared = bs0.wo
+    res_count = jnp.full((n,), 2.0)
+    indirect_k = [p_hit]
+    for s in range(1, S):
         u_r, sampler = sampler.next_1d()
-        replace = ind_k & (res_count * u_r < 1.0)
-        wo_shared = jnp.where(replace[..., None], bs_k.wo, wo_shared)
-        res_count = res_count + ind_k.astype(jnp.float32)
-        indirect.append(ind_k)
+        ind_s = valid_k[s] & same_lobe[s]
+        replace = ind_s & (res_count * u_r < 1.0)
+        wo_shared = jnp.where(replace[..., None], wo_cand[s], wo_shared)
+        res_count = res_count + ind_s.astype(jnp.float32)
+        indirect_k.append(ind_s)
+    indirect = jnp.stack(indirect_k, 0)
 
-    direct_pdf = m.safe_div(direct_pdf_sum, n_direct)
-
-    # ---- per-view MIS film weights (mis_weights, mvpath_multi.h:466-523)
-    w_view = []
-    for k in range(S):
-        pdf_sum = pdf_lk[k]
-        if k > 0:
-            pdf_sum = pdf_sum + p_pdf[k]
-        iJpk = m.safe_div(1.0, Jp[k])
-        cross = jnp.zeros((n,))
-        for j in range(1, S):
-            if j == k:
-                continue
-            pdf_J = jnp.minimum((Jp[j] * iJpk) ** 2, 1.0)
-            pdf_mat = tv_pdf_fast(wo_r[j], wi_k[k], pdfMk[k], alpha, diffuse)
-            cross = cross + jnp.where(accepted[j], p_pdf[j] * pdf_J * pdf_mat,
-                                      0.0)
-        cond = accepted[k] if k > 0 else reuse
-        pdf_sum = pdf_sum + jnp.where(cond, cross, 0.0)
-        wk = m.safe_div(pdf_lk[k], pdf_sum)
-        if not sa_mis:
-            wk = jnp.ones((n,))
-        w_view.append(wk)
-    # background / non-reuse primary lanes keep weight 1 (mvpath_multi.h:366)
-    w_view[0] = jnp.where(reuse, w_view[0], 1.0)
+    # ---- per-view MIS film weights (mis_weights mvpath_multi.h:466-523)
+    # pdfSum_k = pdf_lk + [k>0] p(k) + sum_{j>=1,j!=k,accepted}
+    #            p(j) * min((Jp_j/Jp_k)^2, 1) * pdf_Mat(j->k)
+    iJpk = m.safe_div(1.0, Jp)                                  # (S, N)
+    cross = jnp.zeros((S, n))
+    for j in range(1, S):
+        pdf_Jjk = jnp.minimum((Jp[j][None] * iJpk) ** 2, 1.0)   # (S, N)
+        pdf_mat_jk = tv_pdf_fast(
+            jnp.tile(wo_r[j], (S, 1)), wi_k.reshape(-1, 3),
+            pdfMk.reshape(-1), jnp.tile(alpha, S),
+            jnp.tile(diffuse, S)).reshape(S, n)
+        term = p_pdf[j][None] * pdf_Jjk * pdf_mat_jk
+        term = term.at[j].set(0.0)          # j == k excluded
+        cross = cross + jnp.where(valid_k[j][None], term, 0.0)
+    cond = jnp.concatenate([reuse[None], valid_k[1:]], 0)
+    pdf_sum = pdf_lk + jnp.where(cond, cross, 0.0)
+    pdf_sum = pdf_sum.at[1:].add(p_pdf[1:])    # p(k->k) = p(k) for k>0
+    w_view = m.safe_div(pdf_lk, pdf_sum)
+    if not sa_mis:
+        w_view = jnp.ones_like(w_view)
+    w_view = w_view.at[0].set(jnp.where(reuse, w_view[0], 1.0))
 
     # ---- NEE contributions (mvpath_multi.h:248-267)
     mis_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, direct_pdf))
     emis = em_weight * mis_em[..., None]
-    results = [result0 + jnp.where(active_em[..., None], f_nee[0] * emis, 0.0)]
-    for s in range(1, S):
-        results.append(jnp.where((active_em & accepted[s])[..., None],
-                                 f_nee[s] * emis, 0.0))
+    nee_mask = jnp.concatenate([
+        (active_em & p_hit)[None], (active_em[None] & valid_k[1:])], 0)
+    results = jnp.where(nee_mask[..., None], f_nee * emis[None], 0.0)
+    results = results.at[0].add(result0)
 
     # ---- indirect mixture pdf over views (mvpath_multi.h:275-307)
-    f_ind = []
-    pdf_mix_sum = jnp.zeros((n,))
-    n_indir = jnp.zeros((n,))
-    for s in range(S):
-        si_s = si.replace(wi=wi_k[s])
-        f_s, p_s = bsdf_eval_pdf(scene, si_s, wo_shared)
-        if s == 0:
-            # delta fallback: weight/pdf from the sample itself
-            f_s = jnp.where(p_not_delta[..., None], f_s,
-                            bs0.weight * bs0.pdf[..., None])
-            p_s = jnp.where(p_not_delta, p_s, bs0.pdf)
-            ok = indirect[s] & ((p_s > 0.0) | flag_delta)
-        else:
-            ok = indirect[s] & (p_s > 0.0)
-        indirect[s] = ok
-        f_ind.append(jnp.where(ok[..., None], f_s, 0.0))
-        pdf_mix_sum = pdf_mix_sum + jnp.where(ok, p_s, 0.0)
-        n_indir = n_indir + ok.astype(jnp.float32)
+    f_ind_flat, pdf_ind_flat = bsdf_eval_pdf(scene, si_all,
+                                             jnp.tile(wo_shared, (S, 1)))
+    f_ind = f_ind_flat.reshape(S, n, 3)
+    pdf_ind = pdf_ind_flat.reshape(S, n)
+    # primary delta fallback
+    f_ind = f_ind.at[0].set(jnp.where(p_not_delta[..., None], f_ind[0],
+                                      bs0.weight * bs0.pdf[..., None]))
+    pdf_ind = pdf_ind.at[0].set(jnp.where(p_not_delta, pdf_ind[0], bs0.pdf))
+    ok0 = indirect[0] & ((pdf_ind[0] > 0.0) | flag_delta)
+    ok = jnp.concatenate([ok0[None], indirect[1:] & (pdf_ind[1:] > 0.0)], 0)
+    f_ind = jnp.where(ok[..., None], f_ind, 0.0)
+    n_indir = jnp.sum(ok, 0).astype(jnp.float32)
     pdf_mix = jnp.where(p_not_delta,
-                        m.safe_div(pdf_mix_sum, n_indir), bs0.pdf)
+                        m.safe_div(jnp.sum(jnp.where(ok, pdf_ind, 0.0), 0),
+                                   n_indir), bs0.pdf)
     adapt_mask = p_hit & (n_indir <= 1.0)
 
     # ---- shared suffix (mvpath_multi.h:526-689)
-    d_world = si.to_world(wo_shared)
-    suffix_ray = si.spawn_ray(d_world)
+    suffix_ray = si.spawn_ray(si.to_world(wo_shared))
     L_suffix, sampler = _sample_suffix(
         scene, suffix_ray, sampler, pdf_mix, flag_delta, max_depth,
         rr_depth, p_hit & (max_depth > 1))
 
     pdfW = jnp.where(p_not_delta, m.safe_div(1.0, pdf_mix), 1.0)
-    for s in range(S):
-        results[s] = results[s] + jnp.where(
-            indirect[s][..., None], f_ind[s] * pdfW[..., None] * L_suffix,
-            0.0)
+    results = results + jnp.where(
+        ok[..., None], f_ind * (pdfW[..., None] * L_suffix)[None], 0.0)
 
-    # ---- assemble splats: (pos, value, film weight w, active).
-    # film_put scales values by the weight channel itself
-    # (block->put(pos, w * result, ..., w) with ImageBlock storing
-    # value*filter_w directly — our film_put takes the raw value and the
-    # statistical weight separately).
-    splats = [(pos, results[0], w_view[0], None)]
-    for s in range(1, S):
-        tile = sensor.quilt_tile_origin(cams[s]).astype(jnp.float32)
-        pos_s = tile + uv_k[s] * jnp.array([vw, vh], jnp.float32)
-        act = accepted[s]
-        splats.append((pos_s, results[s], w_view[s], act))
+    # ---- single batched splat: primary at its own pixel, reused views
+    # at their reprojected quilt positions (one scatter for the group)
+    tiles = sensor.quilt_tile_origin(cams.reshape(-1)).astype(jnp.float32)
+    pos_k = tiles.reshape(S, n, 2) \
+        + s_uv * jnp.array([vw, vh], jnp.float32)
+    pos_all = jnp.concatenate([pos[None], pos_k[1:]], 0)
+    act_all = jnp.concatenate([jnp.ones((1, n), bool), valid_k[1:]], 0)
+    splats = [(pos_all.reshape(-1, 2), results.reshape(-1, 3),
+               w_view.reshape(-1), act_all.reshape(-1))]
     return splats, sampler, adapt_mask
+
 
 
 def _sample_suffix(scene, ray, sampler, first_pdf, first_delta, max_depth,
@@ -445,10 +477,17 @@ def render_mvpath(scene, spp: int = 16, seed: int = 0, max_depth: int = 6,
                   sa_reuse: bool = True, sa_mis: bool = True,
                   n_adapt: int = 0, spp_per_pass: int = None,
                   raw: bool = False):
-    """Multi-view render driver (MVPathIntegrator::render mvpath.cpp:7)."""
+    """Multi-view render driver (MVPathIntegrator::render mvpath.cpp:7).
+
+    The per-pass wavefront budget divides by the reuse-group size S: the
+    batched estimator materializes (S, N) state (the reference's
+    spp_pass_lim RAM bound, mvpath.h:50-52, same role)."""
     W, H = scene.sensor.film_resolution
+    N_views = scene.sensor.n_sensors
+    S = reuse_group_size(N_views, reuse_count) if (sa_reuse and N_views > 1) \
+        else 1
     if spp_per_pass is None:
-        spp_per_pass = max(1, min(spp, (1 << 21) // max(W * H, 1)))
+        spp_per_pass = max(1, min(spp, (1 << 21) // max(W * H * S, 1)))
     acc = film_prepare(scene.film)
     done, i = 0, 0
     while done < spp:
