@@ -286,12 +286,17 @@ def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
     """Large-scene tiled-cull sweep (ops/isect.py): triangles permuted
     into BVH-leaf order, per-tile AABB block culling, dense VPU tests.
     Rays are Morton-sorted so blocks stay coherent for the culling."""
-    from ..ops.isect import pack_tiles, ray_triangles_tiled
+    from ..ops.isect import (pack_tiles, ray_triangles_tiled,
+                             ray_triangles_tiled_hbm)
     order = geom.tri_order
     p0 = geom.tri_p0[order]
     p1 = geom.tri_p1[order]
     p2 = geom.tri_p2[order]
     soa, tb = pack_tiles(p0, p1, p2)
+    # VMEM-resident soup up to ~6 MB; beyond that, stream tiles from HBM
+    # with hierarchical (super-tile) culling
+    if soa.shape[1] * 36 > (6 << 20):
+        ray_triangles_tiled = ray_triangles_tiled_hbm
 
     if sort_rays:
         lo = jnp.min(tb[:3].min(1), 0)

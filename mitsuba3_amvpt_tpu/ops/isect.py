@@ -367,3 +367,211 @@ def pack_tiles(p0, p1, p2):
     lo = jnp.min(lo_pts.reshape(3, 3, n_tiles, TRI_TILE).min(0), axis=-1)
     hi = jnp.max(hi_pts.reshape(3, 3, n_tiles, TRI_TILE).max(0), axis=-1)
     return soa, jnp.concatenate([lo, hi], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# HBM-streaming tiled tracer (beyond the ~175k-tri VMEM cap)
+# ---------------------------------------------------------------------------
+#
+# The triangle soup stays in HBM; each ADMITTED tile is DMA'd into a
+# VMEM scratch inside the predicated branch, so HBM traffic is
+# proportional to admitted tiles only.  A second (super-tile) cull level
+# keeps the AABB sweep sublinear: supers of SUPER_FACTOR tiles are
+# tested first and their whole tile range is skipped on a miss.
+
+SUPER_FACTOR = 32
+
+
+def _tiled_hbm_kernel(rays_ref, sb_ref, tb_ref, tris_hbm, t_ref, u_ref,
+                      v_ref, id_ref, scratch, dma_sem,
+                      *, n_tri_tiles: int, n_super: int):
+    B = RAY_BLOCK
+    G = TILED_GROUPS
+    S = B // G
+
+    def comp(r):
+        return [rays_ref[r, pl.ds(g * S, S)] for g in range(G)]
+
+    ox, oy, oz = comp(0), comp(1), comp(2)
+    dx, dy, dz = comp(3), comp(4), comp(5)
+    maxt = comp(6)
+
+    def safe_inv(a):
+        tiny = jnp.where(a >= 0, 1e-20, -1e-20)
+        return 1.0 / jnp.where(jnp.abs(a) > 1e-20, a, tiny)
+
+    idx_ = [safe_inv(v) for v in dx]
+    idy_ = [safe_inv(v) for v in dy]
+    idz_ = [safe_inv(v) for v in dz]
+
+    t_ref[:] = jnp.full((B,), _BIG)
+    u_ref[:] = jnp.zeros((B,))
+    v_ref[:] = jnp.zeros((B,))
+    id_ref[:] = jnp.full((B,), -1, jnp.int32)
+
+    def slab_any(row, g):
+        t0x = (row[0] - ox[g]) * idx_[g]
+        t1x = (row[3] - ox[g]) * idx_[g]
+        t0y = (row[1] - oy[g]) * idy_[g]
+        t1y = (row[4] - oy[g]) * idy_[g]
+        t0z = (row[2] - oz[g]) * idz_[g]
+        t1z = (row[5] - oz[g]) * idz_[g]
+        tmin = jnp.maximum(jnp.maximum(jnp.minimum(t0x, t1x),
+                                       jnp.minimum(t0y, t1y)),
+                           jnp.minimum(t0z, t1z))
+        tmax = jnp.minimum(jnp.minimum(jnp.maximum(t0x, t1x),
+                                       jnp.maximum(t0y, t1y)),
+                           jnp.maximum(t0z, t1z))
+        lim = jnp.minimum(t_ref[pl.ds(g * S, S)], maxt[g])
+        return jnp.any((tmax >= jnp.maximum(tmin, 0.0)) & (tmin < lim))
+
+    def tile_sweep_scratch(g, base_tri):
+        sl_r = pl.ds(g * S, S)
+        bt = t_ref[sl_r]
+        bu = u_ref[sl_r]
+        bv = v_ref[sl_r]
+        bid = id_ref[sl_r]
+        p0x = scratch[0, :]
+        p0y = scratch[1, :]
+        p0z = scratch[2, :]
+        e1x = scratch[3, :] - p0x
+        e1y = scratch[4, :] - p0y
+        e1z = scratch[5, :] - p0z
+        e2x = scratch[6, :] - p0x
+        e2y = scratch[7, :] - p0y
+        e2z = scratch[8, :] - p0z
+
+        def bx(a):
+            return a[:, None]
+
+        def tx(a):
+            return a[None, :]
+
+        pvx = bx(dy[g]) * tx(e2z) - bx(dz[g]) * tx(e2y)
+        pvy = bx(dz[g]) * tx(e2x) - bx(dx[g]) * tx(e2z)
+        pvz = bx(dx[g]) * tx(e2y) - bx(dy[g]) * tx(e2x)
+        det = tx(e1x) * pvx + tx(e1y) * pvy + tx(e1z) * pvz
+        inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+        tvx = bx(ox[g]) - tx(p0x)
+        tvy = bx(oy[g]) - tx(p0y)
+        tvz = bx(oz[g]) - tx(p0z)
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * tx(e1z) - tvz * tx(e1y)
+        qvy = tvz * tx(e1x) - tvx * tx(e1z)
+        qvz = tvx * tx(e1y) - tvy * tx(e1x)
+        v = (bx(dx[g]) * qvx + bx(dy[g]) * qvy + bx(dz[g]) * qvz) * inv_det
+        t = (tx(e2x) * qvx + tx(e2y) * qvy + tx(e2z) * qvz) * inv_det
+        hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+               & (u + v <= 1.0) & (t > 0.0) & (t < bx(maxt[g]))
+               & (t < bx(bt)))
+        t = jnp.where(hit, t, _BIG)
+        k = jnp.argmin(t, axis=1)
+        tk = jnp.min(t, axis=1)
+        upd = tk < bt
+        cols = jax.lax.broadcasted_iota(jnp.int32, (S, TRI_TILE), 1)
+        sel = cols == k[:, None]
+        uk = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
+        vk = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
+        t_ref[sl_r] = jnp.where(upd, tk, bt)
+        u_ref[sl_r] = jnp.where(upd, uk, bu)
+        v_ref[sl_r] = jnp.where(upd, vk, bv)
+        id_ref[sl_r] = jnp.where(upd, base_tri + k, bid)
+
+    def tile_visit(i, _):
+        row = tb_ref[i, :]
+        hits = [slab_any(row, g) for g in range(G)]
+        any_g = hits[0]
+        for h in hits[1:]:
+            any_g = jnp.logical_or(any_g, h)
+
+        @pl.when(any_g)
+        def _(i=i):
+            # DMA this tile's triangles HBM -> VMEM scratch
+            cp = pltpu.make_async_copy(
+                tris_hbm.at[:, pl.ds(i * TRI_TILE, TRI_TILE)],
+                scratch, dma_sem)
+            cp.start()
+            cp.wait()
+            for g in range(G):
+                @pl.when(hits[g])
+                def _(g=g, i=i):
+                    tile_sweep_scratch(g, i * TRI_TILE)
+        return 0
+
+    def super_body(s, _):
+        srow = sb_ref[s, :]
+        s_hit = [slab_any(srow, g) for g in range(G)]
+        any_s = s_hit[0]
+        for h in s_hit[1:]:
+            any_s = jnp.logical_or(any_s, h)
+
+        @pl.when(any_s)
+        def _(s=s):
+            jax.lax.fori_loop(s * SUPER_FACTOR,
+                              jnp.minimum((s + 1) * SUPER_FACTOR,
+                                          n_tri_tiles),
+                              tile_visit, 0)
+        return 0
+
+    jax.lax.fori_loop(0, n_super, super_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("any_hit",))
+def ray_triangles_tiled_hbm(o, d, maxt, tri_soa, tile_aabb,
+                            any_hit: bool = False):
+    """HBM-streaming tiled-cull sweep for scenes beyond the VMEM cap."""
+    n = o.shape[0]
+    pad = (-n) % RAY_BLOCK
+    rays = jnp.concatenate([o.T, d.T, maxt[None]], axis=0)
+    if pad:
+        rays = jnp.pad(rays, ((0, 0), (0, pad)))
+    n_pad = n + pad
+    F_pad = tri_soa.shape[1]
+    n_tri_tiles = F_pad // TRI_TILE
+    n_super = -(-n_tri_tiles // SUPER_FACTOR)
+    # HBM DMA slices must be sublane-aligned: pad the 9 soa rows to 16
+    tri_soa = jnp.pad(tri_soa, ((0, 16 - tri_soa.shape[0]), (0, 0)))
+
+    tb_rows = jnp.zeros((n_tri_tiles, 128), jnp.float32)
+    tb_rows = tb_rows.at[:, 0:6].set(tile_aabb.T)
+    # super-tile AABBs: union of member tiles
+    pad_t = n_super * SUPER_FACTOR - n_tri_tiles
+    lo = jnp.pad(tile_aabb[:3], ((0, 0), (0, pad_t)),
+                 constant_values=1e30).reshape(3, n_super, SUPER_FACTOR)
+    hi = jnp.pad(tile_aabb[3:], ((0, 0), (0, pad_t)),
+                 constant_values=-1e30).reshape(3, n_super, SUPER_FACTOR)
+    sb = jnp.concatenate([lo.min(-1), hi.max(-1)], axis=0)   # (6, n_super)
+    sb_rows = jnp.zeros((n_super, 128), jnp.float32)
+    sb_rows = sb_rows.at[:, 0:6].set(sb.T)
+
+    grid = (n_pad // RAY_BLOCK,)
+    kernel = functools.partial(_tiled_hbm_kernel, n_tri_tiles=n_tri_tiles,
+                               n_super=n_super)
+    ray_spec = pl.BlockSpec((RAY_BLOCK,), lambda i: (i,),
+                            memory_space=pltpu.VMEM)
+    t, u, v, pid = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((7, RAY_BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_super, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_tri_tiles, 128), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # tris stay in HBM
+        ],
+        out_specs=[ray_spec, ray_spec, ray_spec, ray_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((16, TRI_TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )(rays, sb_rows, tb_rows, tri_soa)
+    t = jnp.where(t >= _BIG * 0.5, jnp.inf, t)
+    return t[:n], u[:n], v[:n], pid[:n]
