@@ -600,11 +600,13 @@ class _Builder:
             # camera immersed in a participating medium (sensor.h medium ref)
             self.camera_medium = self.add_medium(spec["medium"])
 
-        if t in ("perspective", "thinlens", "orthographic"):
+        if t in ("perspective", "thinlens", "orthographic",
+                 "radiancemeter"):
             tw = _to_world(spec.get("to_world"))
             ctype = {"perspective": sensor_mod.S_PERSPECTIVE,
                      "thinlens": sensor_mod.S_THINLENS,
-                     "orthographic": sensor_mod.S_ORTHOGRAPHIC}[t]
+                     "orthographic": sensor_mod.S_ORTHOGRAPHIC,
+                     "radiancemeter": sensor_mod.S_RADIANCEMETER}[t]
             self.sensor = sensor_mod.make_camera_batch(
                 [tw], fov_x(spec, W, H), (W, H), cam_type=ctype,
                 aperture_radius=float(spec.get("aperture_radius", 0.0)),
@@ -874,7 +876,8 @@ def load_dict(d: dict, accel: str = "auto") -> Scene:
         if t in ("path", "direct", "depth", "aov", "moment", "volpath",
                  "volpathmis", "ptracer", "mvpath"):
             b.integrator = dict(spec)
-        elif t in ("perspective", "thinlens", "orthographic", "grid", "batch"):
+        elif t in ("perspective", "thinlens", "orthographic", "grid",
+                   "batch", "radiancemeter"):
             b.add_sensor(spec)
         elif t in ("point", "constant", "envmap", "directional", "spot",
                    "projector", "directionalarea"):

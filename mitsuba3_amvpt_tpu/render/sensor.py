@@ -27,6 +27,7 @@ from .records import Ray
 S_PERSPECTIVE = 0
 S_THINLENS = 1
 S_ORTHOGRAPHIC = 2
+S_RADIANCEMETER = 3   # single-direction probe (radiancemeter.cpp)
 
 
 @struct.dataclass
@@ -89,6 +90,13 @@ class CameraBatch:
         fd = self.focus_dist[view]
         target = d_pin * fd[..., None]  # d_pin.z == 1
         d_cam = jnp.where(is_tl[..., None], target - o_cam, d_pin)
+
+        # radiancemeter: every sample measures the same single ray
+        is_rm = ct == S_RADIANCEMETER
+        d_cam = jnp.where(is_rm[..., None],
+                          jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
+                                           d_cam.shape), d_cam)
+        o_cam = jnp.where(is_rm[..., None], jnp.zeros_like(o_cam), o_cam)
 
         # orthographic: origin on the film plane, direction +z
         is_ortho = ct == S_ORTHOGRAPHIC
