@@ -316,8 +316,8 @@ def _rough_dielectric_eval_pdf(p, wi, wo):
     F, _, _, eta_ti_i = fr.fresnel_dielectric(cos_ih, eta)
     D = mf.ndf(h, ax, ay)
     G = mf.G(wi, wo, h, ax, ay)
-    # reflection
-    f_r = m.safe_div(D * G * F, 4.0 * jnp.abs(ci)) * jnp.abs(co)
+    # reflection: f*|cos_o| = D G F / (4 |cos_i|)
+    f_r = m.safe_div(D * G * F, 4.0 * jnp.abs(ci))
     # transmission: Walter eq. 21 (x eta_it^2) times the radiance-transport
     # scale 1/eta_it^2 — the two factors cancel (roughdielectric.cpp eval)
     denom = cos_ih + cos_oh / jnp.maximum(eta_ti_i, 1e-20)
@@ -334,7 +334,11 @@ def _rough_dielectric_eval_pdf(p, wi, wo):
                                    jnp.maximum(denom * denom, 1e-20)
                                    * eta_ti_i * eta_ti_i))
     pdf = pdf_h * jnp.where(reflect, F, 1.0 - F) * dwh_dwo
-    valid = jnp.abs(cos_ih) > 1e-6
+    # Walter 2007 sidedness: the reconstructed half vector must face the
+    # same side as each direction (roughdielectric.cpp eval masks) —
+    # without this the pdf claims mass in unreachable regions
+    valid = ((jnp.abs(cos_ih) > 1e-6)
+             & (cos_ih * ci > 0.0) & (cos_oh * co > 0.0))
     return jnp.where(valid[..., None], f, 0.0), jnp.where(valid, pdf, 0.0)
 
 

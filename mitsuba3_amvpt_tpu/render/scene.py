@@ -263,14 +263,37 @@ class Scene:
 
     def pdf_emitter_hit(self, prev_si_p, si: SurfaceInteraction):
         """pdf of NEE having sampled the direction prev_si_p -> si.p when
-        si lies on an area emitter; 0 if si is not emissive."""
+        si lies on an area emitter; 0 if si is not emissive.
+
+        Triangles: area pdf converted to solid angle.  Spheres seen from
+        outside: the visible-cone pdf (sphere.cpp sample_direction), in
+        exact agreement with sample_emitter_direction."""
         em = self.emitters
+        g = self.geom
+        F = g.faces.shape[0]
         prim = jnp.maximum(si.prim_index, 0)
         pdf_area = jnp.where(si.prim_index >= 0, em.prim_pdf_area[prim], 0.0)
         delta = si.p - prev_si_p
         dist2 = m.squared_norm(delta)
         cos = jnp.abs(m.cos_theta(si.wi))
-        return m.safe_div(pdf_area * dist2, cos)
+        pdf = m.safe_div(pdf_area * dist2, cos)
+
+        S = g.sph_center.shape[0]
+        if S > 0:
+            sph = jnp.clip(prim - F, 0, S - 1)
+            c = g.sph_center[sph]
+            r = g.sph_radius[sph]
+            dc = m.norm(c - prev_si_p)
+            outside = dc > r * 1.0001
+            sin2 = jnp.clip((r / jnp.maximum(dc, 1e-8)) ** 2, 0.0, 1.0)
+            cos_max = m.safe_sqrt(1.0 - sin2)
+            pick = pdf_area * (4.0 * jnp.pi * r * r)
+            pdf_cone = m.safe_div(pick,
+                                  2.0 * jnp.pi * jnp.maximum(1.0 - cos_max,
+                                                             1e-8))
+            is_sph = si.prim_index >= F
+            pdf = jnp.where(is_sph & outside, pdf_cone, pdf)
+        return pdf
 
     def pdf_environment_direction(self, d):
         """NEE pdf for escaping rays hitting the env emitter (MIS)."""
@@ -345,7 +368,7 @@ class Scene:
         if E_AREA in types:
             mask = (etype == E_AREA) | (etype == E_DIRECTIONALAREA)
             is_tri = (prim >= 0) & (prim < F)
-            # triangle sample
+            # triangle sample (uniform area -> solid-angle conversion)
             if F > 0:
                 tri = jnp.clip(prim, 0, F - 1)
                 f = g.faces[tri]
@@ -356,22 +379,58 @@ class Scene:
                 uv_t = b
             else:
                 p_t = jnp.zeros((n, 3)); n_t = jnp.zeros((n, 3)); uv_t = jnp.zeros((n, 2))
-            # sphere sample (uniform area; reference uses visible-cone —
-            # area sampling is unbiased, slightly noisier; TODO round 2)
-            S = g.sph_center.shape[0]
-            if S > 0:
-                sph = jnp.clip(prim - F, 0, S - 1)
-                dir_s = warp.square_to_uniform_sphere(u_pt)
-                p_s = g.sph_center[sph] + dir_s * g.sph_radius[sph][..., None]
-                n_s = dir_s
-                p_t = jnp.where(is_tri[..., None], p_t, p_s)
-                n_t = jnp.where(is_tri[..., None], n_t, n_s)
-            # prim_pdf_area = p(entry) / prim_area (precomputed by loader)
             rad = em.radiance[e_id]
             tex = em.tex[e_id]
             from .texture import eval_spectrum_or_texture
             rad = eval_spectrum_or_texture(rad, tex, self.textures, uv_t)
-            finish_surface(p_t, n_t, uv_t, em.prim_pdf_area[jnp.maximum(prim, 0)], rad, mask)
+            finish_surface(p_t, n_t, uv_t,
+                           em.prim_pdf_area[jnp.maximum(prim, 0)], rad,
+                           mask & is_tri)
+
+            # sphere emitters: visible-cone solid-angle sampling
+            # (sphere.cpp sample_direction); area fallback when inside
+            S = g.sph_center.shape[0]
+            if S > 0:
+                sph = jnp.clip(prim - F, 0, S - 1)
+                c = g.sph_center[sph]
+                r = g.sph_radius[sph]
+                dc_v = c - si.p
+                dc = m.norm(dc_v)
+                outside = dc > r * 1.0001
+                sin2 = jnp.clip((r / jnp.maximum(dc, 1e-8)) ** 2, 0.0, 1.0)
+                cos_max = m.safe_sqrt(1.0 - sin2)
+                dir_c = dc_v / jnp.maximum(dc[..., None], 1e-8)
+                s_f, t_f = m.coordinate_system(dir_c)
+                d_loc = warp.square_to_uniform_cone(u_pt, cos_max)
+                d_cone = m.frame_to_world(dir_c, s_f, t_f, d_loc)
+                from ..accel.traverse import ray_sphere
+                t_hit, hit_s = ray_sphere(si.p, d_cone, c, r)
+                # grazing cone rays can numerically miss: project instead
+                t_safe = jnp.where(hit_s, t_hit, dc * cos_max)
+                p_s = si.p + d_cone * t_safe[..., None]
+                n_s = m.normalize(p_s - c)
+                p_s = c + n_s * r[..., None]
+                pick = em.prim_pdf_area[jnp.maximum(prim, 0)] \
+                    * (4.0 * jnp.pi * r * r)
+                pdf_cone = m.safe_div(
+                    pick, 2.0 * jnp.pi * jnp.maximum(1.0 - cos_max, 1e-8))
+                sel = mask & ~is_tri & (prim >= 0) & outside
+                dist_s = m.norm(p_s - si.p)
+                val_s = jnp.where((pdf_cone > 0)[..., None],
+                                  rad / jnp.maximum(pdf_cone, 1e-20)[..., None],
+                                  0.0)
+                p = jnp.where(sel[..., None], p_s, p)
+                n_l = jnp.where(sel[..., None], n_s, n_l)
+                pdf_sa = jnp.where(sel, pdf_cone, pdf_sa)
+                spec = jnp.where(sel[..., None], val_s, spec)
+                d_out = jnp.where(sel[..., None], d_cone, d_out)
+                dist_out = jnp.where(sel, dist_s, dist_out)
+                # inside the sphere: uniform-area fallback
+                dir_u = warp.square_to_uniform_sphere(u_pt)
+                p_u = c + dir_u * r[..., None]
+                finish_surface(p_u, dir_u, u_pt,
+                               em.prim_pdf_area[jnp.maximum(prim, 0)], rad,
+                               mask & ~is_tri & (prim >= 0) & ~outside)
 
         if E_POINT in types or E_SPOT in types or E_PROJECTOR in types:
             mask = (etype == E_POINT) | (etype == E_SPOT) | (etype == E_PROJECTOR)

@@ -169,3 +169,34 @@ class TestBSDFChi2:
     def test_roughconductor_grazing(self):
         self._bsdf_chi2({"type": "roughconductor", "material": "Al",
                          "alpha": 0.5}, [0.9, 0.0, 0.25], seed=3)
+
+    @pytest.mark.parametrize("wi,tag", [
+        ([0.3, 0.1, 0.95], "above"),
+        ([0.3, 0.1, -0.95], "below"),
+    ])
+    def test_roughdielectric_both_sides(self, wi, tag):
+        """Transmission + reflection over the full sphere (regression:
+        eval once lacked Walter's half-vector sidedness masks and
+        over-integrated by ~4%)."""
+        import mitsuba3_amvpt_tpu as mt
+        import jax.numpy as jnp
+        from mitsuba3_amvpt_tpu.render.bsdfs import (bsdf_eval_pdf,
+                                                     bsdf_sample)
+        sc = mt.load_dict({"type": "scene", "s": {
+            "type": "rectangle",
+            "bsdf": {"type": "roughdielectric", "alpha": 0.3,
+                     "int_ior": 1.5, "ext_ior": 1.0}}})
+        wi = m.normalize(jnp.asarray(wi, jnp.float32))
+        mk = _make_si_factory(wi)
+
+        def sample(u):
+            bs = bsdf_sample(sc, mk(u.shape[0]), u[:, 2], u[:, :2])
+            return jnp.where((bs.pdf > 0)[..., None], bs.wo, jnp.nan)
+
+        def pdf(d):
+            _, p = bsdf_eval_pdf(sc, mk(d.shape[0]), d)
+            return p
+
+        t = ChiSquareTest(SphericalDomain(), sample, pdf, sample_dim=3,
+                          sample_count=300_000, res=41, ires=16, seed=5)
+        assert t.run(significance_level=0.002), (tag, t.messages)

@@ -114,6 +114,32 @@ class TestDirectLighting:
         center = img[8, 8].mean()
         assert center == pytest.approx(expected, rel=0.05), (center, expected)
 
+    def test_sphere_light_cone_sampling_analytic(self):
+        """Uniform sphere light directly above a diffuse floor:
+        L_out = albedo * L * sin^2(theta_max) (visible-cone sampling,
+        sphere.cpp sample_direction parity)."""
+        d = {
+            "type": "scene",
+            "sensor": {"type": "perspective", "fov": 5,
+                       "to_world": {"lookat": {"origin": [0, 1.2, 0.9],
+                                               "target": [0, 0, 0],
+                                               "up": [0, 1, 0]}},
+                       "film": {"type": "hdrfilm", "width": 8, "height": 8,
+                                "rfilter": {"type": "box"}}},
+            "floor": {"type": "rectangle",
+                      "to_world": {"ops": [{"rotate": {"axis": [1, 0, 0],
+                                                       "angle": -90}},
+                                           {"scale": [3, 3, 3]}]},
+                      "bsdf": {"type": "diffuse", "reflectance": 0.6}},
+            "light": {"type": "sphere", "radius": 0.3, "center": [0, 2, 0],
+                      "bsdf": {"type": "diffuse", "reflectance": 0.0},
+                      "emitter": {"type": "area", "radiance": 10.0}},
+        }
+        sc = mt.load_dict(d)
+        img = np.asarray(mt.render(sc, spp=96, max_depth=2, seed=0))
+        expected = 0.6 * 10.0 * (0.3 / 2.0) ** 2
+        assert img[4:6, 4:6].mean() == pytest.approx(expected, rel=0.03)
+
     def test_point_light_analytic(self):
         d = {
             "type": "scene",
