@@ -178,6 +178,17 @@ class Sampler:
                 u = jnp.stack([u0, u1], -1)
         return u, self.replace(dim=self.dim + 2)
 
+    def next_key(self):
+        """Draw a per-lane uint32 sub-stream key (one dimension).
+
+        Used by loops with a data-dependent trip count (delta/ratio
+        tracking in heterogeneous media): in-loop draws are
+        ``tea(key, step)`` so the sampler's global ``dim`` counter stays
+        step-count independent — the PRB replay then consumes dimensions
+        identically regardless of how many null collisions occurred.
+        """
+        return self._bits(0), self.replace(dim=self.dim + 1)
+
     def fork(self, salt) -> "Sampler":
         """Decorrelated child sampler (reference Sampler::fork)."""
         v0, _ = sample_tea_32(self.key, jnp.asarray(salt, _U32))

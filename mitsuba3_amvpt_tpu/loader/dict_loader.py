@@ -154,6 +154,7 @@ class _Builder:
         self.shape_exterior = []
         self.media = []          # list of medium row dicts
         self.med_cache = {}
+        self.volumes = []        # list of (grid ndarray, to_world) tuples
         self.camera_medium = -1
         self.n_shapes = 0
         self.materials = []      # list of dict rows
@@ -372,8 +373,30 @@ class _Builder:
 
     # ---------------- media ----------------
 
+    def add_volume(self, spec, to_world=None) -> int:
+        """Volume grid (src/volumes/{gridvolume,constvolume}.cpp); returns
+        a volume id into the scene's VolumeGridTable, or -1 for constant
+        volumes (the caller keeps the constant in the medium row)."""
+        t = spec.get("type", "gridvolume")
+        tw = _to_world(spec.get("to_world")) if spec.get("to_world") is not None \
+            else np.eye(4)
+        if to_world is not None:
+            tw = np.asarray(to_world, np.float64) @ tw
+        if t == "constvolume":
+            return -1
+        if t != "gridvolume":
+            raise ValueError(f"unsupported volume type {t!r}")
+        if "grid" in spec:
+            data = np.asarray(spec["grid"], np.float32)
+            bbox_tw = np.eye(4)
+        else:
+            from ..render.volume import read_vol
+            data, bbox_tw = read_vol(spec["filename"])
+        self.volumes.append((data, tw @ bbox_tw))
+        return len(self.volumes) - 1
+
     def add_medium(self, spec) -> int:
-        """Homogeneous medium row (src/media/homogeneous.cpp); returns id."""
+        """Medium row (src/media/{homogeneous,heterogeneous}.cpp)."""
         if spec is None:
             return -1
         key = id(spec)
@@ -382,21 +405,47 @@ class _Builder:
         t = spec.get("type", "homogeneous")
         if t not in ("homogeneous", "heterogeneous"):
             raise ValueError(f"unsupported medium type {t!r}")
-        sigma_t = _spectrum3(spec.get("sigma_t", 1.0))
-        if "sigma_s" in spec or "sigma_a" in spec:
-            ss = _spectrum3(spec.get("sigma_s", 0.0))
-            sa = _spectrum3(spec.get("sigma_a", 0.0))
-            sigma_t = ss + sa
-            albedo = ss / np.maximum(sigma_t, 1e-20)
+        density_vol = -1
+        albedo_vol = -1
+        dens_max = 1.0
+
+        def resolve_vol(v, default):
+            """A volume-valued medium property: dict volume spec, scalar,
+            or rgb triple.  Returns (constant (3,), volume id, max)."""
+            nonlocal_max = 1.0
+            if isinstance(v, dict) and v.get("type") in ("gridvolume",
+                                                         "constvolume"):
+                if v.get("type") == "constvolume":
+                    return _spectrum3(v.get("value", default)), -1, 1.0
+                vid = self.add_volume(v)
+                data = self.volumes[vid][0]
+                nonlocal_max = float(np.max(data))
+                return np.ones(3), vid, nonlocal_max
+            return _spectrum3(v if v is not None else default), -1, 1.0
+
+        if t == "heterogeneous" or isinstance(spec.get("sigma_t"), dict):
+            st_c, density_vol, dens_max = resolve_vol(
+                spec.get("sigma_t"), 1.0)
+            sigma_t = st_c
+            albedo, albedo_vol, _ = resolve_vol(spec.get("albedo"), 0.75)
         else:
-            albedo = _spectrum3(spec.get("albedo", 0.75))
+            sigma_t = _spectrum3(spec.get("sigma_t", 1.0))
+            if "sigma_s" in spec or "sigma_a" in spec:
+                ss = _spectrum3(spec.get("sigma_s", 0.0))
+                sa = _spectrum3(spec.get("sigma_a", 0.0))
+                sigma_t = ss + sa
+                albedo = ss / np.maximum(sigma_t, 1e-20)
+            else:
+                albedo = _spectrum3(spec.get("albedo", 0.75))
         phase = spec.get("phase", {"type": "isotropic"})
         from ..render.medium import P_HG, P_ISOTROPIC
         ptype = P_HG if phase.get("type") == "hg" else P_ISOTROPIC
+        scale = float(spec.get("scale", 1.0))
         self.media.append(dict(
             sigma_t=sigma_t, albedo=albedo, phase_type=ptype,
-            g=float(phase.get("g", 0.0)),
-            scale=float(spec.get("scale", 1.0))))
+            g=float(phase.get("g", 0.0)), scale=scale,
+            density_vol=density_vol, albedo_vol=albedo_vol,
+            majorant=float(np.max(sigma_t)) * scale * dens_max))
         idx = len(self.media) - 1
         self.med_cache[key] = idx
         return idx
@@ -701,6 +750,7 @@ class _Builder:
                                        sphs, n_prims)
 
         from ..render.medium import MediumTable
+        from ..render.volume import VolumeGridTable
         if self.media:
             med = MediumTable(
                 sigma_t=jnp.asarray(np.stack([r["sigma_t"] for r in self.media]),
@@ -711,9 +761,24 @@ class _Builder:
                                        jnp.int32),
                 g=jnp.asarray([r["g"] for r in self.media], jnp.float32),
                 scale=jnp.asarray([r["scale"] for r in self.media],
-                                  jnp.float32))
+                                  jnp.float32),
+                density_vol=jnp.asarray(
+                    [r.get("density_vol", -1) for r in self.media], jnp.int32),
+                albedo_vol=jnp.asarray(
+                    [r.get("albedo_vol", -1) for r in self.media], jnp.int32),
+                majorant=jnp.asarray(
+                    [r.get("majorant", float(np.max(r["sigma_t"]) * r["scale"]))
+                     for r in self.media], jnp.float32))
         else:
             med = MediumTable.empty()
+        volumes = VolumeGridTable.build(self.volumes)
+        has_hetero = any(r.get("density_vol", -1) >= 0 for r in self.media)
+        # null boundaries: any shape with a null BSDF that separates media
+        from ..render.bsdfs.registry import D_NULL as _D_NULL
+        has_null_b = any(
+            self.materials[mi]["mtype"] == _D_NULL
+            and (self.shape_interior[i] >= 0 or self.shape_exterior[i] >= 0)
+            for i, mi in enumerate(self.shape_mat) if mi >= 0)
 
         return Scene(
             geom=geom,
@@ -729,7 +794,9 @@ class _Builder:
             shape_exterior=jnp.asarray(self.shape_exterior,
                                        jnp.int32).reshape(-1),
             camera_medium=self.camera_medium,
-            has_media=len(self.media) > 0)
+            has_media=len(self.media) > 0,
+            volumes=volumes, has_hetero=has_hetero,
+            has_null_boundaries=has_null_b)
 
     def _material_table(self):
         rows = self.materials

@@ -3,15 +3,22 @@
 Wavefront equivalent of src/integrators/volpath.cpp (561 LoC) +
 volpathmis.cpp (692): free-flight distance sampling with uniform
 spectral channel selection (volpath.cpp:83), medium/surface event
-split, phase-function NEE with MIS, and medium transitions at
-transmissive boundaries.  The per-channel spectral MIS weighting (the
-volpathmis accumulators) is carried analytically for homogeneous media
-via the channel-averaged pdfs in medium.sample_interaction.
+split, phase-function NEE with MIS, medium transitions at transmissive
+boundaries, and shadow rays that *cross* null-BSDF medium boundaries
+(volpath.cpp NEE loop) accumulating per-segment transmittance.
 
-Current media model: homogeneous (analytic transmittance); shadow rays
-attenuate by the shading point's own medium over the full segment —
-medium-boundary crossing mid-shadow-ray is a later-round refinement
-(heterogeneous + null-scattering ratio tracking, volpath.cpp:239-247).
+Media models:
+* homogeneous — analytic transmittance + channel-MIS free flight
+  (render/medium.py sample_interaction),
+* heterogeneous (gridvolume density) — delta-tracking free flight and
+  ratio-tracking shadow transmittance against the scalar majorant
+  (medium.sample_interaction_dt / transmittance_rt), selected by the
+  static ``scene.has_hetero`` flag.
+
+Depth accounting follows the reference: null-BSDF boundary crossings do
+NOT consume path depth (volpath.cpp increments depth only on real
+scatter events); the wavefront loop therefore runs
+``max_depth + NULL_BUDGET`` iterations with a per-lane depth counter.
 """
 
 from __future__ import annotations
@@ -20,15 +27,87 @@ import jax
 import jax.numpy as jnp
 
 from ...core import math as m
-from ...core.rng import Sampler
+from ...core.rng import Sampler, sample_tea_32
 from ..bsdfs import bsdf_eval_pdf, bsdf_flags_delta, bsdf_sample
-from ..medium import (phase_eval, phase_sample, sample_interaction,
-                      transmittance)
+from ..bsdfs.registry import D_NULL
+from ..medium import (medium_transmittance, phase_eval, phase_sample,
+                      sample_interaction, sample_interaction_dt)
 from ..records import Ray
 from . import path as path_mod
 from .api import register_integrator
 
 mis_weight = path_mod.mis_weight
+
+# extra loop iterations reserved for depth-free null boundary crossings
+NULL_BUDGET = 4
+# shadow-ray segments when null boundaries are present (nested media
+# need one segment per boundary crossed toward the light)
+SHADOW_SEGMENTS = 4
+
+
+def _free_flight(scene, med, o, d, seg_len, smp):
+    """Dispatch free-flight sampling on the static hetero flag.
+    Returns (t, is_medium_event, weight, sampler)."""
+    u_ch, smp = smp.next_1d()
+    if scene.has_hetero:
+        key, smp = smp.next_key()
+        t, is_med, w, _ = sample_interaction_dt(
+            scene.media, scene.volumes, med, o, d, seg_len, key, u_ch)
+        # keep dimension parity with the homogeneous branch (u_dist)
+        _, smp = smp.next_1d()
+    else:
+        u_t, smp = smp.next_1d()
+        t, is_med, w, _ = sample_interaction(scene.media, med, u_ch, u_t,
+                                             seg_len)
+        _, smp = smp.next_key()
+    return t, is_med, w, smp
+
+
+def nee_transmittance(scene, si_evt, ds, med, smp):
+    """Transmittance along the shadow ray si_evt.p -> ds.p, marching
+    through null-BSDF medium boundaries (volpath.cpp NEE loop).
+
+    Each segment: closest-hit up to the remaining distance; a hit on a
+    null material accumulates the local medium transmittance and crosses
+    the boundary; any other hit occludes.  Returns (Tr (N,3), sampler).
+    """
+    media = scene.media
+    key, smp = smp.next_key()
+    ray = si_evt.spawn_ray_to(ds.p)
+    o, d = ray.o, ray.d
+    remaining = ray.maxt
+    n = remaining.shape[0]
+    Tr = jnp.ones((n, 3))
+    cur = med
+    active = (ds.pdf > 0.0) & (remaining > 0.0)
+    n_seg = SHADOW_SEGMENTS if scene.has_null_boundaries else 1
+
+    for seg in range(n_seg):
+        seg_key = sample_tea_32(key, jnp.uint32(seg), rounds=4)[0]
+        si2 = scene.ray_intersect(Ray.make(o, d, remaining))
+        hit = si2.is_valid
+        seg_len = jnp.where(hit, si2.t, remaining)
+        Tr_seg = medium_transmittance(media, scene.volumes, cur, o, d,
+                                      seg_len, seg_key, scene.has_hetero)
+        Tr = jnp.where(active[..., None], Tr * Tr_seg, Tr)
+        mat = jnp.maximum(si2.material_index, 0)
+        is_null = hit & (scene.materials.mtype[mat] == D_NULL)
+        blocked = active & hit & ~is_null
+        Tr = jnp.where(blocked[..., None], 0.0, Tr)
+        if seg + 1 == n_seg:
+            # segment budget exhausted while still marching: conservative 0
+            Tr = jnp.where((active & hit & is_null)[..., None], 0.0, Tr)
+            break
+        # cross the null boundary into the next medium
+        sh = jnp.maximum(si2.shape_index, 0)
+        entering = m.dot(d, si2.n) < 0.0
+        new_med = jnp.where(entering, scene.shape_interior[sh],
+                            scene.shape_exterior[sh])
+        cur = jnp.where(active & is_null, new_med, cur)
+        o = jnp.where(hit[..., None], si2.spawn_ray(d).o, o)
+        remaining = jnp.maximum(remaining - seg_len, 0.0)
+        active = active & hit & is_null & (remaining > 1e-6)
+    return Tr, smp
 
 
 def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
@@ -42,6 +121,7 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
                                active)
     media = scene.media
     has_env = scene.emitters.env_index >= 0
+    n_iter = max_depth + (NULL_BUDGET if scene.has_null_boundaries else 0)
 
     state = dict(
         o=ray.o, d=ray.d,
@@ -49,6 +129,7 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         L=jnp.zeros((n, 3)),
         eta=jnp.ones((n,)),
         active=active,
+        depth=jnp.zeros((n,), jnp.int32),
         prev_pdf=jnp.zeros((n,)),
         prev_delta=jnp.ones((n,), bool),
         prev_p=ray.o,
@@ -68,17 +149,22 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         in_medium = med >= 0
 
         # ---- free-flight sampling inside media
-        u_ch, smp = smp.next_1d()
-        u_t, smp = smp.next_1d()
         seg_len = jnp.where(valid, si.t, jnp.full((n,), 1e8))
-        t_med, is_med_event, w_flight, sigma_s = sample_interaction(
-            media, med, u_ch, u_t, seg_len)
+        t_med, is_med_event, w_flight, smp = _free_flight(
+            scene, med, s["o"], s["d"], seg_len, smp)
         med_event = active_i & in_medium & is_med_event
         surf_event = active_i & valid & (~in_medium | ~is_med_event)
         escaped = active_i & ~valid & ~med_event
         thr = s["throughput"] * jnp.where(in_medium[..., None], w_flight, 1.0)
 
         s["first_t"] = jnp.where((it == 0) & valid, si.t, s["first_t"])
+
+        # null-BSDF surface hits pass straight through without consuming
+        # depth (volpath.cpp null interaction handling)
+        mat = jnp.maximum(si.material_index, 0)
+        is_null_srf = surf_event & (scene.materials.mtype[mat] == D_NULL)
+        depth_inc = jnp.where(is_null_srf | ~(med_event | surf_event), 0, 1)
+        depth_n = s["depth"] + jnp.where(active_i, depth_inc, 0)
 
         # ---- escaped -> environment
         if has_env:
@@ -97,7 +183,7 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         s["L"] = s["L"] + jnp.where(surf_event[..., None],
                                     thr * Le * w_mis[..., None], 0.0)
 
-        active_next = (med_event | surf_event) & (it + 1 < max_depth)
+        active_next = (med_event | surf_event) & (depth_n < max_depth)
 
         # ---- NEE from the event point (medium or surface)
         p_med = ray_i.at(t_med)
@@ -106,9 +192,9 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
             n=jnp.where(med_event[..., None],
                         -s["d"], si.n))   # spawn offset dir for medium
         u_nee, smp = smp.next_2d()
-        ds, spec = scene.sample_emitter_direction(si_evt, u_nee)
-        # shadow transmittance through the local medium
-        Tr_sh = transmittance(media, med, ds.dist)
+        ds, spec = scene.sample_emitter_direction(si_evt, u_nee,
+                                                  test_visibility=False)
+        Tr_sh, smp = nee_transmittance(scene, si_evt, ds, med, smp)
         spec = spec * Tr_sh
         wo_nee = si.to_local(ds.d)
         f_surf, pdf_surf_b = bsdf_eval_pdf(scene, si, wo_nee)
@@ -118,7 +204,7 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         f_nee = jnp.where(med_event[..., None], f_phase[..., None], f_surf)
         pdf_b = jnp.where(med_event, f_phase, pdf_surf_b)
         w_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_b))
-        smooth = ~bsdf_flags_delta(scene, si) | med_event
+        smooth = (~bsdf_flags_delta(scene, si) & ~is_null_srf) | med_event
         nee_ok = active_next & smooth & (ds.pdf > 0.0)
         s["L"] = s["L"] + jnp.where(nee_ok[..., None],
                                     thr * spec * f_nee * w_em[..., None],
@@ -154,12 +240,12 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         active_next = active_next & (pdf_cont > 0.0) \
             & (jnp.max(jnp.abs(thr), axis=-1) > 0.0)
 
-        # ---- RR
+        # ---- RR (keyed on real path depth)
         u_rr, smp = smp.next_1d()
         eta_n = s["eta"] * jnp.where(med_event, 1.0, bs.eta)
         thr_max = jnp.max(jax.lax.stop_gradient(thr), -1) * eta_n * eta_n
         q = jnp.minimum(thr_max, 0.95)
-        do_rr = it + 1 >= rr_depth
+        do_rr = depth_n >= rr_depth
         survive = ~do_rr | (u_rr < q)
         thr = jnp.where((do_rr & survive)[..., None],
                         thr / jnp.maximum(jax.lax.stop_gradient(q),
@@ -170,15 +256,19 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         s["throughput"] = jnp.where(active_next[..., None], thr,
                                     s["throughput"])
         s["eta"] = eta_n
-        s["prev_pdf"] = pdf_cont
-        s["prev_delta"] = delta_cont
-        s["prev_p"] = jnp.where(med_event[..., None], p_med, si.p)
+        s["depth"] = depth_n
+        # a null crossing is not a scattering vertex: the MIS state of the
+        # last REAL vertex persists across it (volpath.cpp null handling)
+        s["prev_pdf"] = jnp.where(is_null_srf, s["prev_pdf"], pdf_cont)
+        s["prev_delta"] = jnp.where(is_null_srf, s["prev_delta"], delta_cont)
+        s["prev_p"] = jnp.where(is_null_srf[..., None], s["prev_p"],
+                                jnp.where(med_event[..., None], p_med, si.p))
         s["medium"] = med_next
         s["active"] = active_next & survive
         s["sampler"] = smp
         return s, None
 
-    state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth))
+    state, _ = jax.lax.scan(bounce, state, jnp.arange(n_iter))
     aovs = dict(depth=state["first_t"])
     return state["L"], jnp.isfinite(state["first_t"]), aovs, state["sampler"]
 

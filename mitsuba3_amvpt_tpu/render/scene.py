@@ -124,6 +124,12 @@ class Scene:
     shape_exterior: jnp.ndarray = None   # (n_shapes,) int32 medium id
     camera_medium: int = struct.field(pytree_node=False, default=-1)
     has_media: bool = struct.field(pytree_node=False, default=False)
+    # heterogeneous-media volume grids (render/volume.py)
+    volumes: Any = None           # VolumeGridTable
+    has_hetero: bool = struct.field(pytree_node=False, default=False)
+    # any null-BSDF shape bounding a medium (shadow rays must cross it)
+    has_null_boundaries: bool = struct.field(pytree_node=False,
+                                             default=False)
 
     # ---------------- ray queries ----------------
 
