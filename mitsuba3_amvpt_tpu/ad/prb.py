@@ -248,9 +248,18 @@ prb_pass.defvjp(_prb_fwd, _prb_bwd)
 
 
 def render_ad(scene, spp: int = 16, seed: int = 0, max_depth: int = 6,
-              rr_depth: int = 5, spp_per_pass: int = None, raw: bool = False):
+              rr_depth: int = 5, spp_per_pass: int = None, raw: bool = False,
+              integrator: str = "path"):
     """Differentiable render (mi.render equivalent): gradients w.r.t.
-    the scene pytree flow through PRB, O(1)-memory in depth."""
+    the scene pytree flow through PRB, O(1)-memory in depth.
+
+    ``integrator="volpath"`` on a scene with media uses the volumetric
+    PRB (ad/prbvolpath.py); like the primal volpath it falls back to the
+    surface PRB on media-free scenes."""
+    if integrator == "volpath" and scene.has_media:
+        from .prbvolpath import prbvol_pass as pass_fn
+    else:
+        pass_fn = prb_pass
     W, H = scene.sensor.film_resolution
     if spp_per_pass is None:
         spp_per_pass = max(1, min(spp, (1 << 21) // max(W * H, 1)))
@@ -258,8 +267,8 @@ def render_ad(scene, spp: int = 16, seed: int = 0, max_depth: int = 6,
     done, i = 0, 0
     while done < spp:
         sp = min(spp_per_pass, spp - done)
-        acc = acc + prb_pass(scene, jnp.uint32(seed + sp * i + done), sp,
-                             max_depth, rr_depth)
+        acc = acc + pass_fn(scene, jnp.uint32(seed + sp * i + done), sp,
+                            max_depth, rr_depth)
         done += sp
         i += 1
     return acc if raw else film_develop(acc)

@@ -133,15 +133,19 @@ def sample_interaction(media: MediumTable, med_id, u_channel, u_dist, maxt):
     ch = jnp.clip((u_channel * 3).astype(jnp.int32), 0, 2)
     st_c = jnp.take_along_axis(st, ch[..., None], -1)[..., 0]
     st_c = jnp.maximum(st_c, 1e-8)
-    t = -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / st_c
+    # DETACHED SAMPLING (prb.py style, essential for unbiased naive AD
+    # too): the sampled distance and the sampling pdfs are evaluated at
+    # detached parameters; only the integrand (Tr, sigma_s) is attached.
+    t = jax.lax.stop_gradient(
+        -jnp.log(jnp.maximum(1.0 - u_dist, 1e-20)) / st_c)
     is_medium = t < maxt
     t_clamped = jnp.minimum(t, maxt)
 
     Tr = jnp.exp(-st * t_clamped[..., None])                # (N, 3)
     # pdf of medium event at t: mean_c sigma_t_c exp(-sigma_t_c t)
-    pdf_t = jnp.mean(st * Tr, axis=-1)
+    pdf_t = jax.lax.stop_gradient(jnp.mean(st * Tr, axis=-1))
     # pdf of reaching the surface: mean_c exp(-sigma_t_c maxt)
-    pdf_surf = jnp.mean(Tr, axis=-1)
+    pdf_surf = jax.lax.stop_gradient(jnp.mean(Tr, axis=-1))
     w_medium = sigma_s * Tr / jnp.maximum(pdf_t, 1e-20)[..., None]
     w_surface = Tr / jnp.maximum(pdf_surf, 1e-20)[..., None]
     weight = jnp.where(is_medium[..., None], w_medium, w_surface)
