@@ -65,6 +65,10 @@ class Sampler:
         strata with jitter (stratified.cpp),
       * multijitter — correlated multi-jittered 2D via Kensler
         permutations (multijitter.cpp),
+      * orthogonal  — orthogonal-array sampler, Bose strength-2
+        construction with CMJ-style perturbation (orthogonal.cpp:224-253);
+        every *pair* of dimensions is stratified on the R x R grid
+        (R = smallest prime with R^2 >= spp),
       * ldsampler   — scrambled (0,2) sequence: van der Corput x Sobol'
         (ldsampler.cpp).
     For the non-independent modes, seed with ``pixel`` + ``sample`` ids
@@ -113,9 +117,44 @@ class Sampler:
         return sample_tea_32(self.key, jnp.asarray(self.dim + offset, _U32),
                              rounds=4)[0]
 
+    def _oa_resolution(self):
+        """Smallest prime R with R^2 >= spp (orthogonal.cpp:94-105)."""
+        def is_prime(x):
+            return x >= 2 and all(x % i for i in range(2, int(x ** 0.5) + 1))
+        r = 2
+        while r * r < self.spp or not is_prime(r):
+            r += 1
+        return r
+
+    def _oa_bose(self, offset):
+        """Bose strength-2 OA point, dimension ``dim + offset``
+        (orthogonal.cpp:224-253): any two dimensions are jointly
+        stratified on the R x R grid."""
+        from . import qmc
+        R = self._oa_resolution()
+        p = self.key
+        i = qmc.kensler_permute(self.sample % _U32(self.spp), self.spp, p)
+        a_i0 = i // R
+        a_i1 = i % R
+        j = jnp.asarray(self.dim + offset, _U32)
+        k = jnp.where(j % 2 > 0, j - _U32(1), j + _U32(1))
+        a_ij = (a_i0 + (j - _U32(1)) * a_i1) % R
+        a_ik = (a_i0 + (k - _U32(1)) * a_i1) % R
+        a_ij = jnp.where(j == 0, a_i0, jnp.where(j == 1, a_i1, a_ij))
+        a_ik = jnp.where(j == 0, a_i1, jnp.where(j == 1, a_i0, a_ik))
+        stratum = qmc.kensler_permute(
+            a_ij, R, p * (j + _U32(1)) * _U32(0x51633E2D))
+        sub_stratum = qmc.kensler_permute(
+            a_ik, R, p * (j + _U32(1)) * _U32(0x68BC21EB))
+        jit = bits_to_float01(self._bits(offset, salt=77))
+        return (stratum.astype(jnp.float32)
+                + (sub_stratum.astype(jnp.float32) + jit) / R) / R
+
     def next_1d(self):
         if self.mode == "independent":
             u = bits_to_float01(self._bits(0))
+        elif self.mode == "orthogonal":
+            u = self._oa_bose(0)
         elif self.mode == "ldsampler":
             from . import qmc
             # (0,2)-sequence point + per-(pixel,dim) Cranley-Patterson
@@ -136,6 +175,8 @@ class Sampler:
             b0 = self._bits(0)
             b1 = self._bits(1)
             u = jnp.stack([bits_to_float01(b0), bits_to_float01(b1)], -1)
+        elif self.mode == "orthogonal":
+            u = jnp.stack([self._oa_bose(0), self._oa_bose(1)], -1)
         elif self.mode == "ldsampler":
             from . import qmc
             k0 = self._dim_key(0)

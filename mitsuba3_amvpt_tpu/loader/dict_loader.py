@@ -59,7 +59,7 @@ _BSDF_TYPE = {
     "thindielectric": bsdf_reg.D_THINDIELECTRIC,
     "null": bsdf_reg.D_NULL,
     "principled": bsdf_reg.D_PRINCIPLED,
-    "principledthin": bsdf_reg.D_PRINCIPLED,  # thin variant: later round
+    "principledthin": bsdf_reg.D_PRINCIPLEDTHIN,
 }
 
 
@@ -167,6 +167,8 @@ class _Builder:
         self.integrator = {}
         self.accel = "auto"
         self.shapegroups = {}    # id -> list of child shape specs
+        self.sensor_shape = -1   # shape id carrying an irradiancemeter
+        self.distant_spec = None  # deferred distant sensor (needs bbox)
 
     # ---------------- textures ----------------
 
@@ -290,7 +292,7 @@ class _Builder:
                 float(spec.get("anisotropic", 0.0)),
                 float(spec.get("flatness", 0.0)),
                 float(spec.get("spec_trans", 0.0)),
-                0.0])
+                float(spec.get("diff_trans", 0.0))])   # thin only, in [0,2]
 
         def ior_of(v, default):
             if isinstance(v, str):
@@ -326,12 +328,17 @@ class _Builder:
         s_mean = float(np.mean(spec_refl))
         sw = s_mean / max(d_mean + s_mean, 1e-9)
 
-        if t in ("principled", "principledthin"):
+        if t == "principled":
             # principled specular strength via 'specular' or eta
             specular = float(spec.get("specular", 0.5))
             f0 = 0.08 * specular
             eta = (1.0 + np.sqrt(min(f0, 0.99))) / max(1.0 - np.sqrt(min(f0, 0.99)), 1e-3) \
                 if "specular" in spec else float(spec.get("eta", 1.5))
+            # refraction needs eta != 1 (principled.cpp:223)
+            if extra[8] > 0.0 and abs(eta - 1.0) < 1e-3:
+                eta = 1.001
+        elif t == "principledthin":
+            eta = float(spec.get("eta", 1.5))   # principledthin.cpp:178
 
         return dict(mtype=mtype, albedo=albedo, albedo_tex=albedo_tex,
                     alpha=alpha, alpha_tex=alpha_tex, eta_c=eta_c, k_c=k_c,
@@ -493,6 +500,16 @@ class _Builder:
         self.shape_mat.append(mat_idx)
         self.shape_interior.append(self.add_medium(spec.get("interior")))
         self.shape_exterior.append(self.add_medium(spec.get("exterior")))
+
+        # shape-attached irradiancemeter (irradiancemeter.cpp: the sensor
+        # is declared as a child of the shape it measures)
+        sensor_spec = next(
+            (v for v in spec.values()
+             if isinstance(v, dict) and v.get("type") == "irradiancemeter"),
+            None)
+        if sensor_spec is not None:
+            self.sensor_shape = shape_id
+            self.add_sensor(dict(sensor_spec, type="_surface"))
 
         em_spec = spec.get("emitter")
         if em_spec is None:
@@ -668,16 +685,37 @@ class _Builder:
             self.sensor, (FW, FH) = build_grid_sensor(spec, fov_x, W, H)
             self.film = film_mod.FilmConfig(width=FW, height=FH, ftype=ftype,
                                             radius=radius)
+        elif t == "distant":
+            # deferred — the ray origin needs the scene bounding sphere,
+            # only known at finalize (distant.cpp set_scene :185-189)
+            self.distant_spec = spec
+            self.film = film_mod.FilmConfig(width=W, height=H,
+                                            ftype=film_mod.F_BOX, radius=0.5)
+        elif t == "_surface":
+            # irradiancemeter placeholder camera; ray generation happens in
+            # integrators/api.py from the attached shape's surface
+            self.sensor = sensor_mod.make_camera_batch(
+                [np.eye(4)], 90.0, (W, H),
+                cam_type=sensor_mod.S_IRRADIANCEMETER)
+            self.film = film_mod.FilmConfig(width=W, height=H,
+                                            ftype=film_mod.F_BOX, radius=0.5)
         else:
             raise ValueError(f"unsupported sensor type {t!r}")
 
     # ---------------- finalize ----------------
 
     def finalize(self) -> Scene:
-        if self.sensor is None:
+        if self.sensor is None and self.distant_spec is None:
             self.add_sensor({"type": "perspective"})
         if not self.materials:
             self.add_bsdf({"type": "diffuse"})
+        if not self.shape_mat:
+            # geometry-free scene (env emitter only): keep the per-shape
+            # tables non-empty so gathers stay in range
+            self.shape_mat.append(0)
+            self.shape_em.append(-1)
+            self.shape_interior.append(-1)
+            self.shape_exterior.append(-1)
 
         if self.verts:
             verts = np.concatenate(self.verts, 0).astype(np.float32)
@@ -744,6 +782,58 @@ class _Builder:
         pts = np.concatenate(allpts, 0) if allpts else np.zeros((1, 3))
         bbox_lo, bbox_hi = pts.min(0), pts.max(0)
 
+        if self.distant_spec is not None:
+            # distant sensor (distant.cpp:155-232): to_world from an
+            # explicit `direction` (look_at with auto up) or the given
+            # transform; origin offsets use the scene bounding sphere
+            spec = self.distant_spec
+            if "direction" in spec:
+                d = np.asarray(spec["direction"], np.float64)
+                d = d / np.linalg.norm(d)
+                up = np.array([0.0, 1.0, 0.0])
+                if abs(d @ up) > 0.99:
+                    up = np.array([1.0, 0.0, 0.0])
+                tw = m.look_at([0, 0, 0], d, up)
+            else:
+                tw = _to_world(spec.get("to_world"))
+            center = 0.5 * (bbox_lo + bbox_hi)
+            brad = max(0.5 * float(np.linalg.norm(bbox_hi - bbox_lo)), 1e-4)
+            tgt = spec.get("target")
+            aux = np.zeros(8, np.float32)
+            if tgt is not None:
+                aux[0:3] = np.asarray(tgt, np.float32)
+                aux[4] = 1.0
+            else:
+                aux[0:3] = center
+            aux[3] = brad * 1.0001
+            fc = self.film
+            self.sensor = sensor_mod.make_camera_batch(
+                [tw], 90.0, (fc.width, fc.height),
+                cam_type=sensor_mod.S_DISTANT, aux=aux)
+
+        # irradiancemeter: area-weighted pick table over the attached
+        # shape's prims (irradiancemeter.cpp:82 sample_position)
+        sensor_prims = jnp.zeros((1,), jnp.int32)
+        sensor_distr = DiscreteDistribution.from_pmf(jnp.ones((1,)))
+        has_surf_sensor = self.sensor_shape >= 0
+        if has_surf_sensor:
+            sid = self.sensor_shape
+            tids = np.nonzero(tri_shape == sid)[0]
+            if tids.size:
+                p0, p1, p2 = (verts[faces[tids, k]] for k in range(3))
+                t_areas = 0.5 * np.linalg.norm(
+                    np.cross(p1 - p0, p2 - p0), axis=-1)
+            else:
+                t_areas = np.zeros((0,))
+            sids_ = np.nonzero(sphs == sid)[0]
+            s_areas = 4.0 * np.pi * sphr[sids_] ** 2
+            prims = np.concatenate([tids, F + sids_]).astype(np.int32)
+            areas = np.concatenate([t_areas, s_areas])
+            if prims.size == 0:
+                raise ValueError("irradiancemeter attached to empty shape")
+            sensor_prims = jnp.asarray(prims)
+            sensor_distr = DiscreteDistribution.from_pmf(jnp.asarray(areas))
+
         materials = self._material_table()
         textures = TextureTable.build(self.textures)
         emitters = self._emitter_table(verts, faces, tri_shape, sphc, sphr,
@@ -796,7 +886,9 @@ class _Builder:
             camera_medium=self.camera_medium,
             has_media=len(self.media) > 0,
             volumes=volumes, has_hetero=has_hetero,
-            has_null_boundaries=has_null_b)
+            has_null_boundaries=has_null_b,
+            sensor_prims=sensor_prims, sensor_prim_distr=sensor_distr,
+            has_surface_sensor=has_surf_sensor)
 
     def _material_table(self):
         rows = self.materials
@@ -944,7 +1036,7 @@ def load_dict(d: dict, accel: str = "auto") -> Scene:
                  "volpathmis", "ptracer", "mvpath"):
             b.integrator = dict(spec)
         elif t in ("perspective", "thinlens", "orthographic", "grid",
-                   "batch", "radiancemeter"):
+                   "batch", "radiancemeter", "distant"):
             b.add_sensor(spec)
         elif t in ("point", "constant", "envmap", "directional", "spot",
                    "projector", "directionalarea"):

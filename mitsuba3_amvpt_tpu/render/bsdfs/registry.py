@@ -42,6 +42,7 @@ D_NULL = 8
 D_PRINCIPLED = 9
 D_BLEND = 10      # blendbsdf.cpp: weight-mix of two children
 D_MASK = 11       # mask.cpp: opacity-mix of child and null transmission
+D_PRINCIPLEDTHIN = 12  # principledthin.cpp: thin-surface principled
 
 _SMOOTH_TYPES = (D_DIFFUSE, D_ROUGHCONDUCTOR, D_ROUGHDIELECTRIC,
                  D_PLASTIC, D_ROUGHPLASTIC)
@@ -467,103 +468,379 @@ def _principled_lobe_weights(p, wi):
 
 
 def _principled_eval_pdf(p, wi, wo):
+    """principled.cpp eval + pdf (Burley 2012/2015, Mitsuba port):
+    diffuse+retro+fake-subsurface, sheen, anisotropic GGX specular with
+    the principled Fresnel mix (principledhelpers.h:239), GTR1 clearcoat,
+    and the spec_trans refractive lobe (principled.cpp:604-620)."""
     ci, co = m.cos_theta(wi), m.cos_theta(wo)
-    active = (ci > 0.0) & (co > 0.0)
+    active = jnp.abs(ci) > 1e-6
     base = p["albedo"]
     ex = p["extra"]
     metallic, spec_tint = ex[..., 0], ex[..., 1]
     sheen, sheen_tint = ex[..., 2], ex[..., 3]
     cc, cc_gloss = ex[..., 4], ex[..., 5]
-    flat = ex[..., 7]
+    flat, st = ex[..., 7], ex[..., 8]
+    brdf_w = (1.0 - metallic) * (1.0 - st)
+    bsdf_w = (1.0 - metallic) * st
     ax, ay, rough = _principled_alphas(p)
 
-    h = m.normalize(wi + wo)
-    cos_d = m.dot(wi, h)
+    front = ci > 0.0
+    eta = jnp.where((st > 0.0) & (jnp.abs(p["eta"] - 1.0) < 1e-3),
+                    1.001, p["eta"])
+    eta_path = jnp.where(front, eta, 1.0 / eta)
+    inv_eta_path = 1.0 / eta_path
+    reflect = ci * co > 0.0
+    refract = ci * co < 0.0
 
-    # --- diffuse + retro + fake subsurface (Burley 2012 §5.3)
-    fd90 = 0.5 + 2.0 * rough * cos_d * cos_d
-    fl = (1.0 - ci) ** 5
-    fv = (1.0 - co) ** 5
-    f_base = (1.0 + (fd90 - 1.0) * fl) * (1.0 + (fd90 - 1.0) * fv)
-    fss90 = rough * cos_d * cos_d
-    fss = ((1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv))
-    ss = 1.25 * (fss * (m.safe_div(1.0, ci + co) - 0.5) + 0.5)
-    f_diff_scalar = m.lerp(f_base, ss, flat) * warp.INV_PI * co
+    # generalized half vector, flipped to the upper hemisphere
+    wh = m.normalize(wi + wo * jnp.where(reflect, 1.0, eta_path)[..., None])
+    wh = m.mulsign(wh, wh[..., 2:3])
+    cos_ih = m.dot(wi, wh)
+    cos_oh = m.dot(wo, wh)
+    F_d, _, eta_it, _ = fr.fresnel_dielectric(cos_ih, eta)
+
+    # macro/micro compatibility (principledhelpers.h mac_mic_compatibility)
+    wh_s_i = m.mulsign(cos_ih, ci)     # dot(wi, mulsign(wh, ci))
+    wh_s_o = m.mulsign(cos_oh, ci)
+    mm_r = (wh_s_i > 0.0) & (wh_s_o > 0.0)
+    mm_t = (wh_s_i > 0.0) & (wh_s_o < 0.0)
+
+    D = mf.ndf(wh, ax, ay)
+    G = mf.G(wi, wo, wh, ax, ay)
+
+    # --- principled Fresnel for the main reflection lobe
     lum = (0.2126 * base[..., 0] + 0.7152 * base[..., 1]
            + 0.0722 * base[..., 2])
     tint = jnp.where((lum > 0)[..., None],
                      base / jnp.maximum(lum, 1e-6)[..., None],
                      jnp.ones_like(base))
-    f_sheen = (sheen[..., None]
-               * m.lerp(jnp.ones_like(base), tint, sheen_tint[..., None])
-               * ((1.0 - cos_d) ** 5 * co)[..., None])
-    f_diffuse = (base * f_diff_scalar[..., None] + f_sheen) \
-        * (1.0 - metallic)[..., None]
+    acd = jnp.abs(cos_ih)
+    F_schlick = metallic[..., None] * _schlick(base, acd)
+    R0_tint = tint * (((eta_it - 1.0) / (eta_it + 1.0)) ** 2)[..., None]
+    F_schlick = F_schlick + ((1.0 - metallic) * spec_tint)[..., None] \
+        * _schlick(R0_tint, acd)
+    F_front = ((1.0 - metallic) * (1.0 - spec_tint) * F_d)[..., None] \
+        + F_schlick
+    F_pr = jnp.where(front[..., None], F_front,
+                     (bsdf_w * F_d)[..., None])
 
-    # --- specular: anisotropic GGX + Schlick Fresnel
-    eta = jnp.maximum(p["eta"], 1.01)
-    F0_d = ((eta - 1.0) / (eta + 1.0)) ** 2
-    F0 = m.lerp(
-        F0_d[..., None] * m.lerp(jnp.ones_like(base), tint,
-                                 spec_tint[..., None]),
-        base, metallic[..., None])
-    F = _schlick(F0, cos_d)
-    D = mf.ndf(h, ax, ay)
-    G = mf.G(wi, wo, h, ax, ay)
-    f_spec = F * m.safe_div(D * G, 4.0 * ci)[..., None]
+    # --- main specular reflection
+    sr_ok = active & reflect & mm_r & (F_d > 0.0)
+    f_sr = F_pr * m.safe_div(D * G, 4.0 * jnp.abs(ci))[..., None]
+    f = jnp.where(sr_ok[..., None], f_sr, 0.0)
 
-    # --- clearcoat: GTR1, fixed F0 = 0.04, Smith alpha 0.25
+    # --- specular transmission (radiance-transport scale inv_eta_path^2)
+    st_ok = active & refract & mm_t & (bsdf_w > 0.0) & (F_d < 1.0)
+    denom_t = cos_ih + eta_path * cos_oh
+    f_st_scalar = jnp.abs(m.safe_div(
+        inv_eta_path * inv_eta_path * (1.0 - F_d) * D * G * eta_path
+        * eta_path * cos_ih * cos_oh,
+        ci * jnp.maximum(denom_t * denom_t, 1e-20)))
+    f = f + jnp.where(st_ok[..., None],
+                      (bsdf_w * f_st_scalar)[..., None]
+                      * m.safe_sqrt(base), 0.0)
+
+    # --- clearcoat (front side only)
     a_cc = m.lerp(0.1, 0.001, cc_gloss)
-    Dc = _gtr1_d(m.cos_theta(h), a_cc)
-    Fc = _schlick(jnp.full_like(cos_d, 0.04), cos_d)
-    Gc = mf.G(wi, wo, h, 0.25, 0.25)
-    # f*cos_o with the standard microfacet denominator 4 ci co
-    f_cc = (0.25 * cc * Dc * Fc * Gc * m.safe_div(1.0, 4.0 * ci))[..., None]
+    Dc = _gtr1_d(m.cos_theta(wh), a_cc)
+    Fc = _schlick(jnp.full_like(cos_ih, 0.04), acd)
+    Gc = mf.G(wi, wo, wh, 0.25, 0.25)
+    cc_ok = active & reflect & mm_r & front & (cc > 0.0)
+    f = f + jnp.where(cc_ok, 0.25 * cc * Dc * Fc * Gc * jnp.abs(co),
+                      0.0)[..., None]
 
-    f = f_diffuse + f_spec + f_cc
+    # --- diffuse + retro + fake subsurface + sheen (front, reflection)
+    di_ok = active & reflect & front & (brdf_w > 0.0)
+    aci, aco = jnp.abs(ci), jnp.abs(co)
+    Fo = (1.0 - aco) ** 5
+    Fi = (1.0 - aci) ** 5
+    f_diff = (1.0 - 0.5 * Fi) * (1.0 - 0.5 * Fo)
+    cos_d = cos_oh
+    Rr = 2.0 * rough * cos_d * cos_d
+    f_retro = Rr * (Fo + Fi + Fo * Fi * (Rr - 1.0))
+    fss90 = 0.5 * Rr
+    fss = m.lerp(1.0, fss90, Fo) * m.lerp(1.0, fss90, Fi)
+    f_ss = 1.25 * (fss * (m.safe_div(1.0, aco + aci) - 0.5) + 0.5)
+    f_d_scalar = m.lerp(f_diff + f_retro, f_ss, flat) * warp.INV_PI * aco
+    f = f + jnp.where(di_ok[..., None],
+                      (brdf_w * f_d_scalar)[..., None] * base, 0.0)
+    sh_ok = active & reflect & front & (sheen > 0.0) & (metallic < 1.0)
+    Fd_sheen = (1.0 - jnp.abs(cos_d)) ** 5
+    c_sheen = m.lerp(jnp.ones_like(base), tint, sheen_tint[..., None])
+    f = f + jnp.where(sh_ok[..., None],
+                      (sheen * (1.0 - metallic) * Fd_sheen * aco)[..., None]
+                      * c_sheen, 0.0)
 
-    # --- pdf: lobe mixture
-    w_diff, w_spec, w_cc = _principled_lobe_weights(p, wi)
-    pdf_diff = warp.square_to_cosine_hemisphere_pdf(wo)
-    pdf_spec = m.safe_div(mf.pdf_vndf(wi, h, ax, ay),
-                          4.0 * jnp.abs(m.dot(wo, h)))
-    pdf_cc = m.safe_div(Dc * jnp.abs(m.cos_theta(h)),
-                        4.0 * jnp.abs(m.dot(wo, h)))
-    pdf = w_diff * pdf_diff + w_spec * pdf_spec + w_cc * pdf_cc
+    # --- pdf: reference lobe mixture (principled.cpp:760-840, srates = 1)
+    prob_sr = jnp.where(front, 1.0 - bsdf_w * (1.0 - F_d), F_d)
+    prob_st = jnp.where(front, bsdf_w * (1.0 - F_d), 1.0 - F_d)
+    prob_cc = jnp.where(front, 0.25 * cc, 0.0)
+    prob_di = jnp.where(front, brdf_w, 0.0)
+    tot = jnp.maximum(prob_sr + prob_st + prob_cc + prob_di, 1e-20)
+    dwh_dwo = jnp.abs(jnp.where(
+        reflect, m.safe_div(1.0, 4.0 * cos_oh),
+        m.safe_div(eta_path * eta_path * cos_oh,
+                   jnp.maximum(denom_t * denom_t, 1e-20))))
+    pdf_h = mf.pdf_vndf(m.mulsign(wi, ci[..., None]), wh, ax, ay)
+    pdf = jnp.where(reflect & mm_r, prob_sr * pdf_h * dwh_dwo, 0.0)
+    pdf = pdf + jnp.where(reflect & front,
+                          prob_di
+                          * warp.square_to_cosine_hemisphere_pdf(wo), 0.0)
+    pdf = pdf + jnp.where(refract & mm_t, prob_st * pdf_h * dwh_dwo, 0.0)
+    pdf = pdf + jnp.where(reflect & mm_r & front,
+                          prob_cc * Dc * jnp.abs(m.cos_theta(wh)) * dwh_dwo,
+                          0.0)
+    pdf = pdf / tot
     return jnp.where(active[..., None], f, 0.0), jnp.where(active, pdf, 0.0)
 
 
 def _principled_sample(p, wi, u1, u2):
+    """principled.cpp sample: stochastic lobe pick with the reference's
+    Fresnel-aware probabilities, then weight = eval/pdf."""
     ci = m.cos_theta(wi)
-    active = ci > 0.0
-    w_diff, w_spec, w_cc = _principled_lobe_weights(p, wi)
+    ex = p["extra"]
+    metallic, cc, st = ex[..., 0], ex[..., 4], ex[..., 8]
+    brdf_w = (1.0 - metallic) * (1.0 - st)
+    bsdf_w = (1.0 - metallic) * st
+    front = ci > 0.0
+    active = (jnp.abs(ci) > 1e-6) & (front | (bsdf_w > 0.0))
+    eta = jnp.where((st > 0.0) & (jnp.abs(p["eta"] - 1.0) < 1e-3),
+                    1.001, p["eta"])
     ax, ay, rough = _principled_alphas(p)
 
-    # lobe select on u1
-    pick_diff = u1 < w_diff
-    pick_spec = (u1 >= w_diff) & (u1 < w_diff + w_spec)
+    # main specular microfacet normal (VNDF, both-side wi)
+    h_spec, _ = mf.sample_vndf(wi, u2, ax, ay)
+    cos_ih = m.dot(wi, h_spec)
+    F_d, cos_t, eta_it, eta_ti = fr.fresnel_dielectric(cos_ih, eta)
+
+    prob_sr = jnp.where(front, 1.0 - bsdf_w * (1.0 - F_d), F_d)
+    prob_st = jnp.where(front, bsdf_w * (1.0 - F_d), 1.0 - F_d)
+    prob_cc = jnp.where(front, 0.25 * cc, 0.0)
+    prob_di = jnp.where(front, brdf_w, 0.0)
+    tot = jnp.maximum(prob_sr + prob_st + prob_cc + prob_di, 1e-20)
+    p_di, p_cc, p_st = prob_di / tot, prob_cc / tot, prob_st / tot
+
+    pick_di = u1 < p_di
+    pick_cc = (u1 >= p_di) & (u1 < p_di + p_cc)
+    pick_st = (u1 >= p_di + p_cc) & (u1 < p_di + p_cc + p_st)
 
     wo_diff = warp.square_to_cosine_hemisphere(u2)
-    h_spec, _ = mf.sample_vndf(wi, u2, ax, ay)
     wo_spec = m.reflect_h(wi, h_spec)
-    # clearcoat GTR1 sampling
-    ex = p["extra"]
+    # refraction about h (same construction as roughdielectric)
+    wo_st = (-eta_ti[..., None] * wi
+             + (eta_ti * cos_ih
+                - m.mulsign(jnp.abs(cos_t), cos_ih))[..., None] * h_spec)
+    # clearcoat GTR1 normal
     a_cc = m.lerp(0.1, 0.001, ex[..., 5])
     a2 = a_cc * a_cc
     ct2 = m.safe_div(1.0 - jnp.power(a2, 1.0 - u2[..., 0]), 1.0 - a2)
     ct = m.safe_sqrt(ct2)
-    st = m.safe_sqrt(1.0 - ct2)
+    stheta = m.safe_sqrt(1.0 - ct2)
     phi = 2.0 * jnp.pi * u2[..., 1]
-    h_cc = m.vec(st * jnp.cos(phi), st * jnp.sin(phi), ct)
+    h_cc = m.vec(stheta * jnp.cos(phi), stheta * jnp.sin(phi), ct)
     wo_cc = m.reflect_h(wi, h_cc)
 
-    wo = jnp.where(pick_diff[..., None], wo_diff,
-                   jnp.where(pick_spec[..., None], wo_spec, wo_cc))
+    wo = jnp.where(pick_di[..., None], wo_diff,
+                   jnp.where(pick_cc[..., None], wo_cc,
+                             jnp.where(pick_st[..., None], wo_st, wo_spec)))
+    co = m.cos_theta(wo)
+    side_ok = jnp.where(pick_st, ci * co < 0.0, ci * co > 0.0)
+    # macro-micro compatibility rejection (principled.cpp:427-480): keep
+    # sampling density consistent with the mixture pdf's masked lobes
+    hs_i = m.mulsign(m.dot(wi, h_spec), ci)
+    hc_i = m.mulsign(m.dot(wi, h_cc), ci)
+    pick_sr = ~(pick_di | pick_cc | pick_st)
+    side_ok = side_ok & jnp.where(
+        pick_sr, (hs_i > 0.0) & (m.mulsign(m.dot(wo_spec, h_spec), ci) > 0.0),
+        jnp.where(pick_st,
+                  (hs_i > 0.0) & (m.mulsign(m.dot(wo_st, h_spec), ci) < 0.0),
+                  jnp.where(pick_cc,
+                            (hc_i > 0.0)
+                            & (m.mulsign(m.dot(wo_cc, h_cc), ci) > 0.0),
+                            jnp.ones_like(pick_di))))
     f, pdf = _principled_eval_pdf(p, wi, wo)
-    ok = active & (pdf > 0.0) & (m.cos_theta(wo) > 0.0)
+    ok = active & side_ok & (pdf > 0.0)
     weight = jnp.where(ok[..., None], m.safe_div(f, pdf[..., None]), 0.0)
-    return wo, jnp.where(ok, pdf, 0.0), weight, jnp.ones_like(ci), \
-        jnp.zeros_like(active), jnp.zeros_like(active)
+    eta_out = jnp.where(pick_st, eta_it, 1.0)
+    return wo, jnp.where(ok, pdf, 0.0), weight, eta_out, \
+        jnp.zeros_like(ok), pick_st & ok
+
+
+# -- principledthin (src/bsdfs/principledthin.cpp) -------------------------
+#
+# Thin-surface principled: symmetric in incidence side (the sheet has no
+# interior), specular reflection + non-bending "transmission by flipped
+# reflection" with IOR-scaled roughness (Burley 2015 fig. 15), diffuse/
+# retro/sheen reflection and Lambertian diffuse transmission.
+
+def _thin_alphas(rough, aniso):
+    aspect = jnp.sqrt(1.0 - 0.9 * aniso)
+    a2 = jnp.clip(rough, 1e-3, 1.0) ** 2
+    return jnp.maximum(a2 / aspect, 1e-4), jnp.maximum(a2 * aspect, 1e-4)
+
+
+def _principledthin_eval_pdf(p, wi, wo):
+    ci_raw = m.cos_theta(wi)
+    active = jnp.abs(ci_raw) > 1e-6
+    base = p["albedo"]
+    ex = p["extra"]
+    spec_tint, sheen, sheen_tint = ex[..., 1], ex[..., 2], ex[..., 3]
+    aniso, flat = ex[..., 6], ex[..., 7]
+    st = ex[..., 8]
+    dt = 0.5 * ex[..., 9]          # diff_trans in [0,2] -> [0,1]
+    rough = jnp.clip(p["alpha"][..., 0], 1e-3, 1.0)
+    eta_t = p["eta"]
+
+    # thin BSDF is symmetric: fold to the front side
+    wi_f = m.mulsign(wi, ci_raw[..., None])
+    wo_f = m.mulsign(wo, ci_raw[..., None])
+    ci = jnp.abs(ci_raw)
+    co = m.cos_theta(wo_f)
+    reflect = co > 0.0
+    refract = co < 0.0
+
+    # half vector from the |z|-flipped wo (transmission = mirrored refl)
+    wo_r = jnp.concatenate([wo_f[..., :2],
+                            jnp.abs(wo_f[..., 2:3])], -1)
+    wh = m.normalize(wi_f + wo_r)
+    cos_ih = m.dot(wi_f, wh)
+    cos_oh = m.dot(wo_f, wh)       # signed: <0 for transmission side
+    mm_r = (cos_ih > 0.0) & (cos_oh > 0.0)
+    mm_t = (cos_ih > 0.0) & (cos_oh < 0.0)
+
+    F_d, _, _, _ = fr.fresnel_dielectric(cos_ih, eta_t)
+
+    ax, ay = _thin_alphas(rough, aniso)
+    rough_sc = jnp.clip((0.65 * eta_t - 0.35) * rough, 1e-3, 1.0)
+    ax_s, ay_s = _thin_alphas(rough_sc, aniso)
+
+    lum = (0.2126 * base[..., 0] + 0.7152 * base[..., 1]
+           + 0.0722 * base[..., 2])
+    tint = jnp.where((lum > 0)[..., None],
+                     base / jnp.maximum(lum, 1e-6)[..., None],
+                     jnp.ones_like(base))
+
+    f = jnp.zeros(wi.shape[:-1] + (3,))
+
+    # specular reflection (thin_fresnel mix, principledhelpers.h:296)
+    sr_ok = active & reflect & mm_r & (st > 0.0)
+    R0 = ((eta_t - 1.0) / (eta_t + 1.0)) ** 2
+    F_tinted = _schlick(tint * R0[..., None], jnp.abs(cos_ih))
+    F_thin = m.lerp(F_d[..., None], F_tinted, spec_tint[..., None])
+    D = mf.ndf(wh, ax, ay)
+    G = mf.G(wi_f, wo_f, wh, ax, ay)
+    f = f + jnp.where(sr_ok[..., None],
+                      st[..., None] * F_thin
+                      * m.safe_div(D * G, 4.0 * ci)[..., None], 0.0)
+
+    # specular transmission (scaled roughness; G with the folded wo)
+    st_ok = active & refract & mm_t & (st > 0.0)
+    Ds = mf.ndf(wh, ax_s, ay_s)
+    Gs = mf.G(wi_f, wo_f, wh, ax_s, ay_s)
+    f = f + jnp.where(st_ok[..., None],
+                      (st * (1.0 - F_d)
+                       * m.safe_div(Ds * Gs, 4.0 * ci))[..., None] * base,
+                      0.0)
+
+    # diffuse + retro + fake subsurface + sheen (reflection side)
+    di_w = (1.0 - st) * (1.0 - dt)
+    di_ok = active & reflect & (st < 1.0) & (dt < 1.0)
+    aco = jnp.abs(co)
+    Fo = (1.0 - aco) ** 5
+    Fi = (1.0 - ci) ** 5
+    f_diff = (1.0 - 0.5 * Fi) * (1.0 - 0.5 * Fo)
+    cos_d = cos_oh
+    Rr = 2.0 * rough * cos_d * cos_d
+    f_retro = Rr * (Fo + Fi + Fo * Fi * (Rr - 1.0))
+    fss90 = 0.5 * Rr
+    fss = m.lerp(1.0, fss90, Fo) * m.lerp(1.0, fss90, Fi)
+    f_ss = 1.25 * (fss * (m.safe_div(1.0, aco + ci) - 0.5) + 0.5)
+    f_d_scalar = m.lerp(f_diff + f_retro, f_ss, flat) * warp.INV_PI * aco
+    f = f + jnp.where(di_ok[..., None],
+                      (di_w * f_d_scalar)[..., None] * base, 0.0)
+    Fd_sheen = (1.0 - jnp.abs(cos_d)) ** 5
+    c_sheen = m.lerp(jnp.ones_like(base), tint, sheen_tint[..., None])
+    f = f + jnp.where((di_ok & (sheen > 0.0))[..., None],
+                      (sheen * di_w * Fd_sheen * aco)[..., None] * c_sheen,
+                      0.0)
+
+    # Lambertian diffuse transmission
+    dt_ok = active & refract & (st < 1.0) & (dt > 0.0)
+    f = f + jnp.where(dt_ok[..., None],
+                      ((1.0 - st) * dt * warp.INV_PI * aco)[..., None]
+                      * base, 0.0)
+
+    # pdf (principledthin.cpp:633-706; srates = 1)
+    p_sr = 0.5 * st
+    p_st = 0.5 * st
+    p_cr = (1.0 - st) * (1.0 - dt)
+    p_ct = (1.0 - st) * dt
+    tot = jnp.maximum(p_sr + p_st + p_cr + p_ct, 1e-20)
+    dwh_dwo = jnp.abs(m.safe_div(1.0, 4.0 * m.dot(wo_r, wh)))
+    pdf = jnp.where(reflect & mm_r,
+                    p_sr * mf.pdf_vndf(wi_f, wh, ax, ay) * dwh_dwo, 0.0)
+    pdf = pdf + jnp.where(refract & mm_t,
+                          p_st * mf.pdf_vndf(wi_f, wh, ax_s, ay_s)
+                          * dwh_dwo, 0.0)
+    cos_pdf = warp.INV_PI * jnp.abs(co)
+    pdf = pdf + jnp.where(reflect, p_cr * cos_pdf, 0.0)
+    pdf = pdf + jnp.where(refract, p_ct * cos_pdf, 0.0)
+    pdf = pdf / tot
+    return jnp.where(active[..., None], f, 0.0), jnp.where(active, pdf, 0.0)
+
+
+def _principledthin_sample(p, wi, u1, u2):
+    ci_raw = m.cos_theta(wi)
+    active = jnp.abs(ci_raw) > 1e-6
+    ex = p["extra"]
+    aniso, st = ex[..., 6], ex[..., 8]
+    dt = 0.5 * ex[..., 9]
+    rough = jnp.clip(p["alpha"][..., 0], 1e-3, 1.0)
+    eta_t = p["eta"]
+    wi_f = m.mulsign(wi, ci_raw[..., None])
+
+    p_sr = 0.5 * st
+    p_st = 0.5 * st
+    p_cr = (1.0 - st) * (1.0 - dt)
+    p_ct = (1.0 - st) * dt
+    tot = jnp.maximum(p_sr + p_st + p_cr + p_ct, 1e-20)
+    p_sr, p_st, p_cr = p_sr / tot, p_st / tot, p_cr / tot
+
+    ax, ay = _thin_alphas(rough, aniso)
+    rough_sc = jnp.clip((0.65 * eta_t - 0.35) * rough, 1e-3, 1.0)
+    ax_s, ay_s = _thin_alphas(rough_sc, aniso)
+
+    h_r, _ = mf.sample_vndf(wi_f, u2, ax, ay)
+    h_t, _ = mf.sample_vndf(wi_f, u2, ax_s, ay_s)
+    wo_sr = m.reflect_h(wi_f, h_r)
+    wo_st = m.reflect_h(wi_f, h_t)
+    wo_st = wo_st.at[..., 2].set(-wo_st[..., 2])
+    wo_cr = warp.square_to_cosine_hemisphere(u2)
+    wo_ct = -wo_cr
+
+    pick_sr = u1 < p_sr
+    pick_st = (u1 >= p_sr) & (u1 < p_sr + p_st)
+    pick_cr = (u1 >= p_sr + p_st) & (u1 < p_sr + p_st + p_cr)
+    wo_f = jnp.where(pick_sr[..., None], wo_sr,
+                     jnp.where(pick_st[..., None], wo_st,
+                               jnp.where(pick_cr[..., None], wo_cr, wo_ct)))
+    is_trans = pick_st | ~(pick_sr | pick_st | pick_cr)
+    side_ok = jnp.where(is_trans, m.cos_theta(wo_f) < 0.0,
+                        m.cos_theta(wo_f) > 0.0)
+    # macro-micro compatibility rejection (principledthin.cpp:349-392):
+    # the pdf assigns the specular lobes no density outside these
+    # regions, so such samples must be discarded, not kept
+    side_ok = side_ok & jnp.where(
+        pick_sr, (m.dot(wi_f, h_r) > 0.0) & (m.dot(wo_sr, h_r) > 0.0),
+        jnp.where(pick_st,
+                  (m.dot(wi_f, h_t) > 0.0) & (m.dot(wo_st, h_t) < 0.0),
+                  jnp.ones_like(pick_sr)))
+    wo = m.mulsign(wo_f, ci_raw[..., None])
+    f, pdf = _principledthin_eval_pdf(p, wi, wo)
+    ok = active & side_ok & (pdf > 0.0)
+    weight = jnp.where(ok[..., None], m.safe_div(f, pdf[..., None]), 0.0)
+    return wo, jnp.where(ok, pdf, 0.0), weight, jnp.ones_like(ci_raw), \
+        jnp.zeros_like(ok), is_trans & ok
 
 
 # -- null (src/bsdfs/null.cpp) ---------------------------------------------
@@ -580,6 +857,7 @@ def _null_eval_pdf(p, wi, wo):
 
 _SAMPLERS = {
     D_PRINCIPLED: _principled_sample,
+    D_PRINCIPLEDTHIN: _principledthin_sample,
     D_DIFFUSE: _diffuse_sample,
     D_CONDUCTOR: _conductor_sample,
     D_ROUGHCONDUCTOR: _rough_conductor_sample,
@@ -592,6 +870,7 @@ _SAMPLERS = {
 }
 _EVALS = {
     D_PRINCIPLED: _principled_eval_pdf,
+    D_PRINCIPLEDTHIN: _principledthin_eval_pdf,
     D_DIFFUSE: _diffuse_eval_pdf,
     D_CONDUCTOR: _conductor_eval_pdf,
     D_ROUGHCONDUCTOR: _rough_conductor_eval_pdf,

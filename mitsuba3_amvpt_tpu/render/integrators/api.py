@@ -16,6 +16,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from ...core import math as m
 from ...core.rng import Sampler, sample_tea_32
 from ..film import film_develop, film_prepare, film_put, film_put_coalesced
 from ..records import Ray
@@ -34,6 +35,49 @@ def register_integrator(name):
 register_integrator("path")(path_mod.sample)
 
 
+def _sample_surface_sensor_rays(scene, sampler: Sampler, n):
+    """Irradiancemeter ray generation (irradiancemeter.cpp:75-100):
+    uniform position on the attached shape + cosine-weighted direction;
+    the returned importance weight is pi (the cosine-pdf normalization,
+    so the film estimates E = integral L cos dw over the surface)."""
+    from ...core import warp
+    g = scene.geom
+    F = g.faces.shape[0]
+    u_sel, sampler = sampler.next_1d()
+    entry, u_re = scene.sensor_prim_distr.sample_reuse(u_sel)
+    prim = scene.sensor_prims[entry]
+    u_pos, sampler = sampler.next_2d()
+    p = jnp.zeros((n, 3))
+    nrm = jnp.zeros((n, 3))
+    is_tri = prim < F
+    if F > 0:
+        tri = jnp.clip(prim, 0, F - 1)
+        f = g.faces[tri]
+        pa, pb, pc = g.verts[f[:, 0]], g.verts[f[:, 1]], g.verts[f[:, 2]]
+        b = warp.square_to_uniform_triangle(
+            jnp.stack([u_re, u_pos[..., 0]], -1))
+        p_t = (1 - b[..., 0:1] - b[..., 1:2]) * pa + b[..., 0:1] * pb \
+            + b[..., 1:2] * pc
+        n_t = m.normalize(jnp.cross(pb - pa, pc - pa))
+        p = jnp.where(is_tri[..., None], p_t, p)
+        nrm = jnp.where(is_tri[..., None], n_t, nrm)
+    S = g.sph_center.shape[0]
+    if S > 0:
+        sph = jnp.clip(prim - F, 0, S - 1)
+        dsp = warp.square_to_uniform_sphere(
+            jnp.stack([u_re, u_pos[..., 0]], -1))
+        p_s = g.sph_center[sph] + dsp * g.sph_radius[sph][..., None]
+        p = jnp.where(is_tri[..., None], p, p_s)
+        nrm = jnp.where(is_tri[..., None], nrm, dsp)
+    u_dir, sampler = sampler.next_2d()
+    local = warp.square_to_cosine_hemisphere(u_dir)
+    s_f, t_f = m.coordinate_system(nrm)
+    d = m.frame_to_world(nrm, s_f, t_f, local)
+    ray = Ray.make(p + d * 1e-4, d)
+    weight = jnp.full((n, 3), jnp.pi)
+    return ray, weight, sampler
+
+
 def sample_rays(scene, sampler: Sampler):
     """Per-lane pixel decode + primary ray generation (common.py:231-309
     sample_rays; grid quilt decode grid.cpp:269-297)."""
@@ -47,6 +91,9 @@ def sample_rays(scene, sampler: Sampler):
     py = (pixel // W).astype(jnp.float32)
     u_pos, sampler = sampler.next_2d()
     pos = jnp.stack([px, py], -1) + u_pos
+    if scene.has_surface_sensor:
+        ray, weight, sampler = _sample_surface_sensor_rays(scene, sampler, n)
+        return ray, weight, pos, jnp.zeros((n,), jnp.int32), sampler
     pos_uv = pos / jnp.array([W, H], jnp.float32)
     view, uv = sensor.quilt_decode(pos_uv)
     u_lens, sampler = sampler.next_2d()

@@ -70,29 +70,36 @@ def spectral_to_rgb(L, wl, pdf):
 
 
 def sample_spectral(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
-                    rr_depth: int = 5, active=None):
+                    rr_depth: int = 5, active=None, wavelengths=None,
+                    raw_spectral: bool = False):
     """Spectral path.sample: (N, K) throughput over sampled wavelengths.
 
-    Returns (L_rgb (N, 3), valid, aovs, sampler)."""
+    Returns (L_rgb (N, 3), valid, aovs, sampler); with ``raw_spectral``
+    the first element is ``(L (N, K), wl, wl_pdf)`` instead (used by the
+    specfilm, which applies its own sensor response functions)."""
     n = ray.o.shape[0]
     if active is None:
         active = jnp.ones((n,), bool)
     has_env = scene.emitters.env_index >= 0
 
-    u_wl, sampler = sampler.next_1d()
-    # K stratified wavelength samples per lane (spectrum.h sample_shifted)
-    shifts = (jnp.arange(K_WAVELENGTHS) / K_WAVELENGTHS)[None, :]
-    u_k = jnp.mod(u_wl[..., None] + shifts, 1.0)
-    wl, wl_pdf = spec.sample_visible_wavelength(u_k)     # (N, K)
+    if wavelengths is None:
+        u_wl, sampler = sampler.next_1d()
+        # K stratified wavelength samples/lane (spectrum.h sample_shifted)
+        shifts = (jnp.arange(K_WAVELENGTHS) / K_WAVELENGTHS)[None, :]
+        u_k = jnp.mod(u_wl[..., None] + shifts, 1.0)
+        wl, wl_pdf = spec.sample_visible_wavelength(u_k)  # (N, K)
+    else:
+        wl, wl_pdf = wavelengths
     basis = rgb_basis(wl)                                # (N, K, 3)
 
     def up(rgb):
         return upsample(rgb, basis)
 
+    K = wl.shape[-1]
     state = dict(
         o=ray.o, d=ray.d,
-        throughput=jnp.ones((n, K_WAVELENGTHS)),
-        L=jnp.zeros((n, K_WAVELENGTHS)),
+        throughput=jnp.ones((n, K)),
+        L=jnp.zeros((n, K)),
         eta=jnp.ones((n,)),
         active=active,
         prev_pdf=jnp.zeros((n,)),
@@ -174,9 +181,12 @@ def sample_spectral(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         return s, None
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth))
-    L_rgb = spectral_to_rgb(state["L"], wl, wl_pdf)
     aovs = dict(depth=state["first_t"])
-    return L_rgb, jnp.isfinite(state["first_t"]), aovs, state["sampler"]
+    valid = jnp.isfinite(state["first_t"])
+    if raw_spectral:
+        return (state["L"], wl, wl_pdf), valid, aovs, state["sampler"]
+    L_rgb = spectral_to_rgb(state["L"], wl, wl_pdf)
+    return L_rgb, valid, aovs, state["sampler"]
 
 
 @functools.partial(jax.jit, static_argnames=("spp_pass", "max_depth",
@@ -213,6 +223,109 @@ def render_spectral(scene, spp: int = 16, seed: int = 0, max_depth: int = 6,
     return acc if raw else film_develop(acc)
 
 
+# ---------------------------------------------------------------------------
+# specfilm — multi-band spectral film (src/films/specfilm.cpp)
+# ---------------------------------------------------------------------------
+
+def _resolve_srf(srf, res=128):
+    """SRF spec -> (nodes, values) numpy curves.  Accepts a (nodes,
+    values) pair, a dict {"wavelengths":…, "values":…}, or a preset name
+    'cie_x'/'cie_y'/'cie_z' (the CIE 1931 observer components, the same
+    curves the reference loads from data/srf)."""
+    import numpy as np
+    if isinstance(srf, str):
+        idx = {"cie_x": 0, "cie_y": 1, "cie_z": 2}[srf]
+        grid = np.linspace(spec.CIE_MIN, spec.CIE_MAX, res)
+        vals = np.asarray(spec.cie1931_xyz(jnp.asarray(grid)))[:, idx]
+        return grid, vals
+    if isinstance(srf, dict):
+        return (np.asarray(srf["wavelengths"], np.float64),
+                np.asarray(srf["values"], np.float64))
+    nodes, values = srf
+    return np.asarray(nodes, np.float64), np.asarray(values, np.float64)
+
+
+def make_srf_bank(srfs, res: int = 256):
+    """Build the combined wavelength-importance distribution over all
+    sensor response functions (specfilm.cpp: one continuous distribution
+    from the sum of the SRFs, then per-channel weighting)."""
+    import numpy as np
+    curves = [_resolve_srf(s) for s in srfs]
+    lo = min(float(n[0]) for n, _ in curves)
+    hi = max(float(n[-1]) for n, _ in curves)
+    grid = np.linspace(lo, hi, res)
+    vals = np.stack([np.interp(grid, n, v, left=0.0, right=0.0)
+                     for n, v in curves])                 # (C, res)
+    distr = ContinuousDistribution.from_pdf(grid, vals.sum(0))
+    return dict(vals=jnp.asarray(vals, jnp.float32), distr=distr,
+                lo=jnp.float32(lo), hi=jnp.float32(hi))
+
+
+def _srf_eval(bank, wl):
+    """(C, res) table lookup at wl (...,) -> (..., C), linear interp."""
+    vals = bank["vals"]
+    res = vals.shape[1]
+    x = (wl - bank["lo"]) / (bank["hi"] - bank["lo"]) * (res - 1)
+    i = jnp.clip(jnp.floor(x).astype(jnp.int32), 0, res - 2)
+    t = jnp.clip(x - i, 0.0, 1.0)
+    v0 = vals[:, i]                                       # (C, ...)
+    v1 = vals[:, i + 1]
+    out = v0 + (v1 - v0) * t[None]
+    inside = (wl >= bank["lo"]) & (wl <= bank["hi"])
+    return jnp.moveaxis(jnp.where(inside[None], out, 0.0), 0, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("spp_pass", "max_depth",
+                                             "rr_depth"),
+                   donate_argnames=("acc",))
+def specfilm_pass(scene, bank, acc, seed, spp_pass: int, max_depth: int = 6,
+                  rr_depth: int = 5):
+    W, H = scene.sensor.film_resolution
+    n = W * H * spp_pass
+    sampler = Sampler.seed(seed, n)
+    ray, weight, pos, view, sampler = sample_rays(scene, sampler)
+    u_wl, sampler = sampler.next_1d()
+    shifts = (jnp.arange(K_WAVELENGTHS) / K_WAVELENGTHS)[None, :]
+    u_k = jnp.mod(u_wl[..., None] + shifts, 1.0)
+    wl, wl_pdf = bank["distr"].sample(u_k)                # (N, K)
+    (L, wl, wl_pdf), valid, aovs, sampler = sample_spectral(
+        scene, ray, sampler, max_depth=max_depth, rr_depth=rr_depth,
+        wavelengths=(wl, wl_pdf), raw_spectral=True)
+    srf = _srf_eval(bank, wl)                             # (N, K, C)
+    inv = jnp.where(wl_pdf > 0, 1.0 / jnp.maximum(wl_pdf, 1e-20), 0.0)
+    ch = jnp.mean(L[..., None] * srf * inv[..., None], axis=-2)  # (N, C)
+    # sensor importance is RGB; spectral probes use its luminance
+    w_lum = jnp.mean(weight, -1, keepdims=True)
+    jitter = pos - jnp.floor(pos)
+    return film_put_coalesced(scene.film, acc, jitter, ch * w_lum, spp_pass)
+
+
+def render_specfilm(scene, srfs, spp: int = 16, seed: int = 0,
+                    max_depth: int = 6, rr_depth: int = 5,
+                    spp_per_pass: int = None):
+    """specfilm render: one image channel per sensor response function.
+
+    Returns (H, W, C); channel i estimates integral L(lambda)
+    SRF_i(lambda) d-lambda, importance-sampled from the combined SRF
+    distribution (specfilm.cpp)."""
+    bank = make_srf_bank(srfs)
+    C = bank["vals"].shape[0]
+    W, H = scene.sensor.film_resolution
+    if spp_per_pass is None:
+        spp_per_pass = max(1, min(spp, (1 << 21) // max(W * H, 1)))
+    from ..film import film_prepare as _prep
+    acc = _prep(scene.film, channels=C)
+    done, i = 0, 0
+    while done < spp:
+        sp = min(spp_per_pass, spp - done)
+        acc = specfilm_pass(scene, bank, acc, jnp.uint32(seed + sp * i + done),
+                            sp, max_depth, rr_depth)
+        done += sp
+        i += 1
+    return film_develop(acc)
+
+
+from ...core.distr import ContinuousDistribution  # noqa: E402
 from .api import register_integrator  # noqa: E402
 
 register_integrator("path_spectral")(sample_spectral)

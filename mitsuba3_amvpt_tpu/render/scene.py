@@ -130,6 +130,13 @@ class Scene:
     # any null-BSDF shape bounding a medium (shadow rays must cross it)
     has_null_boundaries: bool = struct.field(pytree_node=False,
                                              default=False)
+    # shape-attached surface sensor (irradiancemeter.cpp): global prim ids
+    # of the attached shape + an area-weighted pick distribution; ray
+    # generation lives in integrators/api.py sample_rays
+    sensor_prims: jnp.ndarray = None      # (K,) int32 global prim ids
+    sensor_prim_distr: Any = None         # DiscreteDistribution over areas
+    has_surface_sensor: bool = struct.field(pytree_node=False,
+                                            default=False)
 
     # ---------------- ray queries ----------------
 

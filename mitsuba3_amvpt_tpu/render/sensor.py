@@ -28,6 +28,10 @@ S_PERSPECTIVE = 0
 S_THINLENS = 1
 S_ORTHOGRAPHIC = 2
 S_RADIANCEMETER = 3   # single-direction probe (radiancemeter.cpp)
+S_DISTANT = 4         # distant directional sensor (distant.cpp)
+S_IRRADIANCEMETER = 5  # shape-attached irradiance probe (irradiancemeter.cpp;
+#                        ray generation lives in the render driver since it
+#                        samples the attached shape's surface)
 
 
 @struct.dataclass
@@ -40,6 +44,10 @@ class CameraBatch:
     aperture_radius: jnp.ndarray  # (B,)
     focus_dist: jnp.ndarray    # (B,)
     near_clip: jnp.ndarray     # (B,)
+    # per-sensor auxiliary params; distant (distant.cpp): [0:3] = scene
+    # bounding-sphere center (or target point), [3] = bsphere radius,
+    # [4] = 1 if targeting a point (else cross-section sampling)
+    aux: jnp.ndarray = None    # (B, 8)
     resolution: tuple = struct.field(pytree_node=False, default=(256, 256))
     # multi-view "quilt" layout (fork MultiSensor: n_sensors, grid_dim)
     grid_dim: tuple = struct.field(pytree_node=False, default=(1, 1))
@@ -91,8 +99,8 @@ class CameraBatch:
         target = d_pin * fd[..., None]  # d_pin.z == 1
         d_cam = jnp.where(is_tl[..., None], target - o_cam, d_pin)
 
-        # radiancemeter: every sample measures the same single ray
-        is_rm = ct == S_RADIANCEMETER
+        # radiancemeter / distant: every sample shares the +z direction
+        is_rm = (ct == S_RADIANCEMETER) | (ct == S_DISTANT)
         d_cam = jnp.where(is_rm[..., None],
                           jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]),
                                            d_cam.shape), d_cam)
@@ -111,6 +119,25 @@ class CameraBatch:
         tw = self.to_world[view]
         o = m.transform_point(tw, o_cam)
         d = m.normalize(m.transform_vector(tw, d_cam))
+
+        # distant sensor (distant.cpp:196-232): origin placed outside the
+        # scene, targeting either a fixed point or the bounding-sphere
+        # cross section perpendicular to the direction
+        is_dist = ct == S_DISTANT
+        if self.aux is not None:
+            aux = self.aux[view]
+            center = aux[..., 0:3]
+            radius = aux[..., 3:4]
+            is_pt = aux[..., 4:5] > 0.5
+            disk = warp.square_to_uniform_disk_concentric(u_lens)
+            perp = m.transform_vector(
+                tw, jnp.stack([disk[..., 0], disk[..., 1],
+                               jnp.zeros_like(disk[..., 0])], -1))
+            o_none = center + perp * radius - d * radius
+            o_tgt = center - 2.0 * radius * d
+            o = jnp.where(is_dist[..., None],
+                          jnp.where(is_pt, o_tgt, o_none), o)
+
         weight = jnp.ones(d.shape[:-1] + (3,))
         return Ray.make(o, d), weight
 
@@ -206,7 +233,8 @@ class CameraBatch:
 def make_camera_batch(to_world_list, fov_x_deg, resolution,
                       cam_type=S_PERSPECTIVE, lens_shift=None,
                       aperture_radius=0.0, focus_dist=1.0, near_clip=1e-2,
-                      grid_dim=(1, 1), reverse_axis=False) -> CameraBatch:
+                      grid_dim=(1, 1), reverse_axis=False,
+                      aux=None) -> CameraBatch:
     tw = np.asarray(to_world_list, np.float32).reshape(-1, 4, 4)
     B = tw.shape[0]
     inv = np.linalg.inv(tw.astype(np.float64)).astype(np.float32)
@@ -225,5 +253,7 @@ def make_camera_batch(to_world_list, fov_x_deg, resolution,
         aperture_radius=jnp.asarray(bcast(aperture_radius)),
         focus_dist=jnp.asarray(bcast(focus_dist)),
         near_clip=jnp.asarray(bcast(near_clip)),
+        aux=jnp.zeros((B, 8), jnp.float32) if aux is None
+        else jnp.broadcast_to(jnp.asarray(aux, jnp.float32), (B, 8)),
         resolution=tuple(resolution), grid_dim=tuple(grid_dim),
         reverse_axis=reverse_axis)

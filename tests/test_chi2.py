@@ -115,6 +115,73 @@ class TestBSDFChi2:
                           sample_count=300_000, res=41, seed=2)
         assert t.run(significance_level=0.002), t.messages
 
+    @pytest.mark.parametrize("wi,tag", [([0.4, 0.1, 0.8], "front"),
+                                        ([0.3, -0.2, -0.9], "back")])
+    def test_principled_spec_trans(self, wi, tag):
+        """principled with the refractive lobe on, both incidence sides
+        (principled.cpp spec_trans; pdf must cover both hemispheres)."""
+        import mitsuba3_amvpt_tpu as mt
+        import jax.numpy as jnp
+        from mitsuba3_amvpt_tpu.render.bsdfs import (bsdf_eval_pdf,
+                                                     bsdf_sample)
+        sc = mt.load_dict({
+            "type": "scene",
+            "s": {"type": "rectangle",
+                  "bsdf": {"type": "principled",
+                           "base_color": [0.9, 0.7, 0.6],
+                           "roughness": 0.5, "spec_trans": 0.7,
+                           "eta": 1.5, "metallic": 0.2,
+                           "clearcoat": 0.3}},
+        })
+        wi = m.normalize(jnp.asarray(wi, jnp.float32))
+        mk = _make_si_factory(wi)
+
+        def sample(u):
+            bs = bsdf_sample(sc, mk(u.shape[0]), u[:, 2], u[:, :2])
+            return jnp.where((bs.pdf > 0)[..., None], bs.wo, jnp.nan)
+
+        def pdf(d):
+            _, p = bsdf_eval_pdf(sc, mk(d.shape[0]), d)
+            return p
+
+        t = ChiSquareTest(SphericalDomain(), sample, pdf, sample_dim=3,
+                          sample_count=400_000, res=41, seed=3)
+        assert t.run(significance_level=0.002), t.messages
+
+    @pytest.mark.parametrize("wi,tag", [([0.4, 0.1, 0.8], "front"),
+                                        ([0.3, -0.2, -0.9], "back")])
+    def test_principledthin(self, wi, tag):
+        """principledthin: symmetric thin sheet with specular reflection,
+        flipped-reflection transmission and diffuse transmission
+        (principledthin.cpp)."""
+        import mitsuba3_amvpt_tpu as mt
+        import jax.numpy as jnp
+        from mitsuba3_amvpt_tpu.render.bsdfs import (bsdf_eval_pdf,
+                                                     bsdf_sample)
+        sc = mt.load_dict({
+            "type": "scene",
+            "s": {"type": "rectangle",
+                  "bsdf": {"type": "principledthin",
+                           "base_color": [0.8, 0.6, 0.5],
+                           "roughness": 0.5, "spec_trans": 0.6,
+                           "diff_trans": 0.6, "eta": 1.33,
+                           "anisotropic": 0.3, "sheen": 0.2}},
+        })
+        wi = m.normalize(jnp.asarray(wi, jnp.float32))
+        mk = _make_si_factory(wi)
+
+        def sample(u):
+            bs = bsdf_sample(sc, mk(u.shape[0]), u[:, 2], u[:, :2])
+            return jnp.where((bs.pdf > 0)[..., None], bs.wo, jnp.nan)
+
+        def pdf(d):
+            _, p = bsdf_eval_pdf(sc, mk(d.shape[0]), d)
+            return p
+
+        t = ChiSquareTest(SphericalDomain(), sample, pdf, sample_dim=3,
+                          sample_count=400_000, res=41, seed=5)
+        assert t.run(significance_level=0.002), t.messages
+
     def _bsdf_chi2(self, mat_dict, wi, seed=0):
         import mitsuba3_amvpt_tpu as mt
         sc = mt.load_dict({

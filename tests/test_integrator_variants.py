@@ -9,6 +9,7 @@ import mitsuba3_amvpt_tpu as mt
 from mitsuba3_amvpt_tpu.render.integrators import (render_aovs,
                                                    render_moment,
                                                    render_spectral)
+from mitsuba3_amvpt_tpu.render.integrators.spectral import render_specfilm
 from mitsuba3_amvpt_tpu.utils import scenes
 
 
@@ -45,6 +46,41 @@ class TestCrossIntegrator:
                                          rr_depth=24, seed=1))
         assert np.allclose(img[0, 0], 1.0, atol=0.02)      # exact white
         assert np.allclose(img[6, 6], img[6, 6].mean(), atol=0.01)  # neutral
+
+
+class TestSpecfilm:
+    def test_box_bands_flat_spectrum(self):
+        """A constant emitter with rgb (v,v,v) upsamples to the flat
+        spectrum v (partition-of-unity basis), so each box-SRF channel
+        must read v * band_width exactly (specfilm.cpp channel
+        semantics: integral L(l) SRF(l) dl)."""
+        v = 0.5
+        d = {"type": "scene",
+             "sensor": {"type": "perspective", "fov": 40,
+                        "film": {"type": "hdrfilm", "width": 4, "height": 4,
+                                 "rfilter": {"type": "box"}}},
+             "env": {"type": "constant", "radiance": v}}
+        sc = mt.load_dict(d)
+        srfs = [([449.99, 450.0, 550.0, 550.01], [0.0, 1.0, 1.0, 0.0]),
+                ([549.99, 550.0, 650.0, 650.01], [0.0, 1.0, 1.0, 0.0])]
+        img = np.asarray(render_specfilm(sc, srfs, spp=64, max_depth=2,
+                                         seed=0))
+        assert img.shape == (4, 4, 2)
+        assert img == pytest.approx(v * 100.0, rel=0.02)
+
+    def test_cie_y_channel(self):
+        """cie_y SRF on a flat unit spectrum = the CIE-Y integral
+        (~106.857, spectrum.h MI_CIE_Y_NORMALIZATION)."""
+        d = {"type": "scene",
+             "sensor": {"type": "perspective", "fov": 40,
+                        "film": {"type": "hdrfilm", "width": 2, "height": 2,
+                                 "rfilter": {"type": "box"}}},
+             "env": {"type": "constant", "radiance": 1.0}}
+        sc = mt.load_dict(d)
+        img = np.asarray(render_specfilm(sc, ["cie_y"], spp=128,
+                                         max_depth=2, seed=1))
+        assert img.shape == (2, 2, 1)
+        assert img == pytest.approx(106.857, rel=0.03)
 
 
 class TestAOV:

@@ -204,3 +204,81 @@ class TestUtils:
                 g = 2 * (opt["x"] - 3.0)
                 opt.step({"x": g})
             assert loss(opt["x"]) < 1e-2
+
+
+class TestProbeSensors:
+    """distant.cpp / irradiancemeter.cpp analogs with analytic values."""
+
+    def test_distant_constant_env(self):
+        # rays never hit geometry -> sensor records the constant radiance
+        d = {
+            "type": "scene",
+            "sensor": {"type": "distant", "direction": [1, 0, 0],
+                       "film": {"type": "hdrfilm", "width": 1, "height": 1,
+                                "rfilter": {"type": "box"}}},
+            # edge-on to the ray direction -> rays pass around it; it only
+            # defines the scene bounding sphere
+            "blocker": {"type": "rectangle",
+                        "to_world": {"translate": [50, 0, 0]}},
+            "env": {"type": "constant", "radiance": 0.7},
+        }
+        sc = mt.load_dict(d)
+        img = np.asarray(mt.render(sc, spp=64, max_depth=2, seed=3))
+        assert img.reshape(-1, 3) == pytest.approx(0.7, rel=1e-3)
+
+    def test_distant_target_point(self):
+        # targeting the center of an emissive rectangle: every ray records
+        # exactly the rectangle's radiance
+        d = {
+            "type": "scene",
+            "sensor": {"type": "distant", "direction": [0, 0, -1],
+                       "target": [0, 0, 0],
+                       "film": {"type": "hdrfilm", "width": 1, "height": 1,
+                                "rfilter": {"type": "box"}}},
+            "rect": {"type": "rectangle",
+                     "emitter": {"type": "area", "radiance": 2.5}},
+        }
+        sc = mt.load_dict(d)
+        img = np.asarray(mt.render(sc, spp=16, max_depth=2, seed=1))
+        assert img.reshape(-1, 3) == pytest.approx(2.5, rel=1e-3)
+
+    def test_irradiancemeter_constant_env(self):
+        # E = integral L cos dw = pi * L for a uniform environment
+        L = 0.6
+        d = {
+            "type": "scene",
+            "probe": {"type": "rectangle",
+                      "to_world": {"scale": [0.1, 0.1, 0.1]},
+                      "sensor": {"type": "irradiancemeter",
+                                 "film": {"type": "hdrfilm", "width": 1,
+                                          "height": 1,
+                                          "rfilter": {"type": "box"}}}},
+            "env": {"type": "constant", "radiance": L},
+        }
+        sc = mt.load_dict(d)
+        img = np.asarray(mt.render(sc, spp=256, max_depth=2, seed=2))
+        assert img.reshape(-1, 3) == pytest.approx(np.pi * L, rel=2e-2)
+
+    def test_irradiancemeter_area_light(self):
+        # small patch under a large emissive "sky" rectangle at height h:
+        # closed form E = pi * L * r^2/(r^2+h^2) ... for a disk; use a
+        # BIG rectangle so it approximates the hemisphere -> E ~ pi*L
+        L, big = 1.3, 400.0
+        d = {
+            "type": "scene",
+            "probe": {"type": "rectangle",
+                      "to_world": {"scale": [0.05, 0.05, 0.05]},
+                      "sensor": {"type": "irradiancemeter",
+                                 "film": {"type": "hdrfilm", "width": 1,
+                                          "height": 1,
+                                          "rfilter": {"type": "box"}}}},
+            "sky": {"type": "rectangle",
+                    "to_world": {"ops": [
+                        {"scale": [big, big, 1.0]},
+                        {"rotate": {"axis": [1, 0, 0], "angle": 180}},
+                        {"translate": [0, 0, 1.0]}]},
+                    "emitter": {"type": "area", "radiance": L}},
+        }
+        sc = mt.load_dict(d)
+        img = np.asarray(mt.render(sc, spp=512, max_depth=2, seed=4))
+        assert img.reshape(-1, 3) == pytest.approx(np.pi * L, rel=3e-2)

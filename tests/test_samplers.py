@@ -11,7 +11,11 @@ from mitsuba3_amvpt_tpu.core.qmc import (kensler_permute, radical_inverse_2,
 from mitsuba3_amvpt_tpu.core.rng import Sampler
 from mitsuba3_amvpt_tpu.utils import scenes
 
-MODES = ("stratified", "multijitter", "ldsampler")
+# (mode, spp) — orthogonal needs spp = prime^2 for full stratification
+# (the reference rounds spp up the same way, orthogonal.cpp:94-110)
+MODES = ("stratified", "multijitter", "ldsampler", "orthogonal")
+SPP = {"stratified": 16, "multijitter": 16, "ldsampler": 16,
+       "orthogonal": 25}
 
 
 class TestQMC:
@@ -39,7 +43,7 @@ class TestQMC:
 class TestSamplerStats:
     @pytest.mark.parametrize("mode", MODES)
     def test_uniform_marginals(self, mode):
-        spp, n_pix = 16, 2000
+        spp, n_pix = SPP[mode], 2000
         pixel = jnp.repeat(jnp.arange(n_pix), spp)
         sample = jnp.tile(jnp.arange(spp), n_pix)
         s = Sampler.seed_stratified(5, pixel, sample, spp, mode=mode)
@@ -52,7 +56,7 @@ class TestSamplerStats:
     @pytest.mark.parametrize("mode", MODES)
     def test_stratification_coverage(self, mode):
         """Within one pixel, spp 1D samples cover all strata."""
-        spp = 16
+        spp = SPP[mode]
         pixel = jnp.zeros(spp, jnp.int32)
         sample = jnp.arange(spp)
         s = Sampler.seed_stratified(1, pixel, sample, spp, mode=mode)
@@ -65,7 +69,7 @@ class TestSamplerStats:
     def test_variance_beats_independent(self, mode):
         """Pixel-mean estimation: stratified patterns must beat
         independent sampling on a smooth integrand."""
-        spp, n_pix = 16, 4000
+        spp, n_pix = SPP[mode], 4000
         pixel = jnp.repeat(jnp.arange(n_pix), spp)
         sample = jnp.tile(jnp.arange(spp), n_pix)
 
@@ -87,6 +91,7 @@ class TestRenderUnbiased:
         ref = np.asarray(mt.render(cb, spp=64, max_depth=3,
                                    sampler="independent", seed=0)).mean()
         for mode in MODES:
-            im = np.asarray(mt.render(cb, spp=64, max_depth=3, sampler=mode,
+            spp = 49 if mode == "orthogonal" else 64
+            im = np.asarray(mt.render(cb, spp=spp, max_depth=3, sampler=mode,
                                       seed=0)).mean()
             assert im == pytest.approx(ref, rel=0.03), (mode, im, ref)
