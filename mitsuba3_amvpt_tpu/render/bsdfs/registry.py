@@ -114,27 +114,52 @@ def apply_shading_maps(scene, si):
 
 
 def _gather_params(scene, si):
-    """Resolve per-lane material parameters (textures applied)."""
+    """Resolve per-lane material parameters (textures applied).
+
+    All float columns of the MaterialTable are packed into one (M, 34)
+    matrix so the per-lane lookup is a single gather — TPU gather cost
+    is per row, not per byte, so one wide gather beats ~14 narrow ones."""
     mt = scene.materials
     i = jnp.maximum(si.material_index, 0)
-    albedo = mt.albedo[i]
-    atex = mt.albedo_tex[i]
-    albedo = jnp.where((atex >= 0)[..., None],
-                       scene.textures.eval_bilinear(jnp.maximum(atex, 0), si.uv),
-                       albedo)
-    alpha = mt.alpha[i]
-    rtex = mt.alpha_tex[i]
-    rough = scene.textures.eval_bilinear(jnp.maximum(rtex, 0), si.uv)[..., 0]
-    alpha = jnp.where((rtex >= 0)[..., None],
-                      jnp.stack([rough, rough], -1), alpha)
+    f32 = jnp.float32
+    A = jnp.concatenate([
+        mt.albedo,                              # 0:3
+        mt.alpha,                               # 3:5
+        mt.eta_c,                               # 5:8
+        mt.k_c,                                 # 8:11
+        mt.eta[:, None],                        # 11
+        mt.spec_refl,                           # 12:15
+        mt.spec_trans,                          # 15:18
+        mt.fdr_int[:, None],                    # 18
+        mt.spec_weight[:, None],                # 19
+        mt.extra,                               # 20:30
+        mt.mtype[:, None].astype(f32),          # 30
+        mt.albedo_tex[:, None].astype(f32),     # 31
+        mt.alpha_tex[:, None].astype(f32),      # 32
+        mt.twosided[:, None].astype(f32),       # 33
+    ], axis=1)
+    a = A[i]
+    albedo = a[:, 0:3]
+    alpha = a[:, 3:5]
+    if not scene.textures.empty:
+        atex = a[:, 31].astype(jnp.int32)
+        albedo = jnp.where(
+            (atex >= 0)[..., None],
+            scene.textures.eval_bilinear(jnp.maximum(atex, 0), si.uv),
+            albedo)
+        rtex = a[:, 32].astype(jnp.int32)
+        rough = scene.textures.eval_bilinear(jnp.maximum(rtex, 0),
+                                             si.uv)[..., 0]
+        alpha = jnp.where((rtex >= 0)[..., None],
+                          jnp.stack([rough, rough], -1), alpha)
     alpha = jnp.maximum(alpha, 1e-4)
     return dict(
-        mtype=mt.mtype[i], albedo=albedo, alpha=alpha,
-        eta_c=mt.eta_c[i], k_c=mt.k_c[i], eta=mt.eta[i],
-        spec_refl=mt.spec_refl[i], spec_trans=mt.spec_trans[i],
-        twosided=mt.twosided[i],
-        fdr_int=mt.fdr_int[i], spec_weight=mt.spec_weight[i],
-        extra=mt.extra[i])
+        mtype=a[:, 30].astype(jnp.int32), albedo=albedo, alpha=alpha,
+        eta_c=a[:, 5:8], k_c=a[:, 8:11], eta=a[:, 11],
+        spec_refl=a[:, 12:15], spec_trans=a[:, 15:18],
+        twosided=a[:, 33] > 0.5,
+        fdr_int=a[:, 18], spec_weight=a[:, 19],
+        extra=a[:, 20:30])
 
 
 def _flip(p, wi, wo=None):

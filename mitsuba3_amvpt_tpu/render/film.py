@@ -183,9 +183,16 @@ def film_put_coalesced(cfg: FilmConfig, acc, jitter, values, spp: int,
     return acc
 
 
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("raw",))
 def film_develop(acc, raw: bool = False):
     """Weight division (HDRFilm::develop hdrfilm.cpp:304-400):
-    values / select(weight == 0, 1, weight).  Differentiable."""
+    values / select(weight == 0, 1, weight).  Differentiable.
+
+    Jitted: called eagerly it would dispatch op-by-op, which dominates
+    wall-clock on remote-attached TPUs."""
     if raw:
         return acc
     w = acc[..., -1:]

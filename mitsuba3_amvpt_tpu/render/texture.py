@@ -22,6 +22,9 @@ class TextureTable:
     offset: jnp.ndarray    # (K,) int32 start row in texels
     width: jnp.ndarray     # (K,) int32
     height: jnp.ndarray    # (K,) int32
+    # static: no images loaded — lets eval sites skip the (expensive on
+    # TPU) per-lane gather chain entirely for untextured scenes
+    empty: bool = struct.field(pytree_node=False, default=False)
 
     @staticmethod
     def build(images) -> "TextureTable":
@@ -31,7 +34,7 @@ class TextureTable:
                 texels=jnp.zeros((1, 3), jnp.float32),
                 offset=jnp.zeros((1,), jnp.int32),
                 width=jnp.ones((1,), jnp.int32),
-                height=jnp.ones((1,), jnp.int32))
+                height=jnp.ones((1,), jnp.int32), empty=True)
         offs, ws, hs, flat = [], [], [], []
         cur = 0
         for img in images:
@@ -101,6 +104,8 @@ class TextureTable:
 def eval_spectrum_or_texture(value, tex_id, textures: TextureTable, uv, si_checker=None):
     """Dispatch helper: per-lane texture lookup where tex_id >= 0, else
     the constant `value` (N, 3)."""
+    if textures.empty:
+        return jnp.broadcast_to(value, uv.shape[:-1] + (3,))
     tex = textures.eval_bilinear(jnp.maximum(tex_id, 0), uv)
     return jnp.where((tex_id >= 0)[..., None], tex, value)
 

@@ -18,7 +18,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# MT_TPU_TESTS=1 keeps the real TPU backend so tests/test_pallas_tpu.py
+# can exercise the hardware kernels (everything else stays CPU-runnable)
+if not os.environ.get("MT_TPU_TESTS"):
+    jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

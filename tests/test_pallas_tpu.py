@@ -59,3 +59,26 @@ class TestPallasKernels:
         t1, _, _, id1 = ray_triangles_tiled(o, d, maxt, soa, tb)
         t2, _, _, id2 = ray_triangles_tiled_hbm(o, d, maxt, soa, tb)
         assert (np.asarray(id1) == np.asarray(id2)).all()
+
+
+def test_rows_kernel_matches_lane_kernel():
+    """Small-scene row-layout sweep == lane-layout sweep (bit-exact)."""
+    from mitsuba3_amvpt_tpu.ops.isect import (
+        pack_tri_rows, pack_tri_soa, ray_triangles_pallas,
+        ray_triangles_pallas_rows)
+    p0, p1, p2 = _random_tris(36, seed=3)
+    rng = np.random.default_rng(1)
+    n = 4096
+    o = jnp.asarray(rng.random((n, 3), np.float32) * 4 - 2)
+    d = jnp.asarray(rng.random((n, 3), np.float32) - 0.5)
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    maxt = jnp.full((n,), np.inf, jnp.float32)
+    t0, u0, v0, i0 = ray_triangles_pallas(o, d, maxt,
+                                          pack_tri_soa(p0, p1, p2))
+    t1, u1, v1, i1 = ray_triangles_pallas_rows(o, d, maxt,
+                                               pack_tri_rows(p0, p1, p2))
+    hit0 = np.asarray(i0) >= 0
+    assert (hit0 == (np.asarray(i1) >= 0)).all()
+    assert np.array_equal(np.asarray(i0)[hit0], np.asarray(i1)[hit0])
+    np.testing.assert_allclose(np.asarray(t0)[hit0], np.asarray(t1)[hit0],
+                               rtol=1e-5)
