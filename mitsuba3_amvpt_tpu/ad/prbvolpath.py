@@ -113,8 +113,7 @@ def _bounce_detached(scene, s, smp, it, max_depth, rr_depth):
     wo_nee = si.to_local(ds.d)
     f_surf_nee, pdf_surf_nee = bsdf_eval_pdf(scene, si, wo_nee)
     sid = jnp.maximum(med, 0)
-    f_phase_nee = phase_eval(media.phase_type[sid], media.g[sid],
-                             s["d"], ds.d)
+    f_phase_nee = phase_eval(media, sid, s["d"], ds.d)
     pdf_b = jnp.where(med_event, f_phase_nee, pdf_surf_nee)
     w_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_b))
     smooth = (~bsdf_flags_delta(scene, si) & ~is_null_srf) | med_event
@@ -124,8 +123,7 @@ def _bounce_detached(scene, s, smp, it, max_depth, rr_depth):
     u1, smp = smp.next_1d()
     u2, smp = smp.next_2d()
     bs = bsdf_sample(scene, si, u1, u2)
-    wo_phase, pdf_phase = phase_sample(media.phase_type[sid],
-                                       media.g[sid], s["d"], u2)
+    wo_phase, pdf_phase = phase_sample(media, sid, s["d"], u2)
     d_surf = si.to_world(bs.wo)
     d_new = jnp.where(med_event[..., None], wo_phase, d_surf)
     o_new = jnp.where(med_event[..., None], p_med + d_new * 1e-5,
@@ -233,8 +231,7 @@ def _replay_backward(scene, ray: Ray, sampler: Sampler, dL, L, max_depth,
                 Tr_att, _ = volpath_mod.nee_transmittance(
                     scene_att, det["si_evt"], det["ds"], med, smp_shadow)
             f_surf_att, _ = bsdf_eval_pdf(scene_att, si, det["wo_nee"])
-            f_phase_att = phase_eval(scene_att.media.phase_type[sid],
-                                     scene_att.media.g[sid],
+            f_phase_att = phase_eval(scene_att.media, sid,
                                      s["d"], det["ds"].d)
             f_nee = jnp.where(med_event[..., None],
                               f_phase_att[..., None], f_surf_att)
@@ -260,8 +257,8 @@ def _replay_backward(scene, ray: Ray, sampler: Sampler, dL, L, max_depth,
             # continuation ratio: BSDF value at surfaces, phase at media
             f_att, _ = bsdf_eval_pdf(scene_att, si, bs.wo)
             r_bsdf = m.safe_div(f_att, sg(f_att), 1.0)
-            p_att = phase_eval(scene_att.media.phase_type[sid],
-                               scene_att.media.g[sid], s["d"], det["d_new"])
+            p_att = phase_eval(scene_att.media, sid,
+                               s["d"], det["d_new"])
             r_phase = m.safe_div(p_att, sg(p_att), 1.0)[..., None]
             r_cont = jnp.where(med_event[..., None], r_phase, r_bsdf)
             r_cont = jnp.where(

@@ -109,12 +109,21 @@ def _to_world(v):
             return a
         raise ValueError("matrix to_world must be 4x4")
     if isinstance(v, dict):
+        # {"type": "lookat", "origin": ..., "target": ...} spelling
+        if v.get("type") in ("lookat", "look_at"):
+            return m.look_at(v["origin"], v["target"],
+                             v.get("up", [0, 1, 0]))
         ops = v.get("ops")
         if ops is None:
             ops = []
             for key in ("translate", "rotate", "scale", "lookat", "look_at", "matrix"):
                 if key in v:
                     ops.append({key: v[key]})
+            if not ops:
+                raise ValueError(f"unrecognized to_world dict {v!r}: "
+                                 "expected 'ops' chain, lookat/translate/"
+                                 "rotate/scale/matrix keys, or "
+                                 "{'type': 'lookat', ...}")
         mtx = np.eye(4)
         for op in ops:
             (key, val), = op.items()
@@ -402,6 +411,66 @@ class _Builder:
         self.volumes.append((data, tw @ bbox_tw))
         return len(self.volumes) - 1
 
+    def _phase_row(self, phase) -> dict:
+        """Phase-function columns of a medium row
+        (src/phase/{isotropic,hg,rayleigh,tabphase,blendphase,sggx}.cpp).
+        blendphase nested lobes are restricted to iso/hg/rayleigh; the
+        sggx 'S' parameter supports constant 6-vectors (grid-valued S is
+        tracked as a gap)."""
+        from ..render.medium import (P_BLEND, P_HG, P_ISOTROPIC, P_RAYLEIGH,
+                                     P_SGGX, P_TAB, TAB_K)
+        simple = {"isotropic": P_ISOTROPIC, "hg": P_HG,
+                  "rayleigh": P_RAYLEIGH}
+        row = dict(phase_type=P_ISOTROPIC, g=0.0, phase_type2=P_ISOTROPIC,
+                   g2=0.0, phase_type3=P_ISOTROPIC, g3=0.0, blend_w=0.5,
+                   tab_pdf=np.full(TAB_K, 0.5, np.float32),
+                   tab_cdf=np.linspace(0.0, 1.0, TAB_K, dtype=np.float32),
+                   sggx_s=np.array([1, 1, 1, 0, 0, 0], np.float32))
+        t = phase.get("type", "isotropic")
+        if t in simple:
+            row["phase_type"] = simple[t]
+            row["g"] = float(phase.get("g", 0.0))
+        elif t == "tabphase":
+            v = phase.get("values", "0.5, 0.5")
+            if isinstance(v, str):
+                v = [float(x) for x in v.replace(",", " ").split()]
+            v = np.asarray(v, np.float64)
+            # resample onto TAB_K uniform nodes over cos theta in [-1,1]
+            xs = np.linspace(-1.0, 1.0, len(v))
+            xk = np.linspace(-1.0, 1.0, TAB_K)
+            pdf = np.interp(xk, xs, v)
+            # trapezoid CDF + normalization (distr_1d.h ContinuousDistribution)
+            dx = 2.0 / (TAB_K - 1)
+            seg = 0.5 * (pdf[1:] + pdf[:-1]) * dx
+            cdf = np.concatenate([[0.0], np.cumsum(seg)])
+            total = max(cdf[-1], 1e-20)
+            row["phase_type"] = P_TAB
+            row["tab_pdf"] = (pdf / total).astype(np.float32)
+            row["tab_cdf"] = (cdf / total).astype(np.float32)
+        elif t == "blendphase":
+            nested = [v for v in phase.values()
+                      if isinstance(v, dict) and v.get("type") in simple]
+            if len(nested) != 2:
+                raise ValueError("blendphase needs two nested simple "
+                                 "(isotropic/hg/rayleigh) phase functions")
+            row["phase_type"] = P_BLEND
+            row["phase_type2"] = simple[nested[0]["type"]]
+            row["g2"] = float(nested[0].get("g", 0.0))
+            row["phase_type3"] = simple[nested[1]["type"]]
+            row["g3"] = float(nested[1].get("g", 0.0))
+            row["blend_w"] = float(np.clip(phase.get("weight", 0.5), 0, 1))
+        elif t == "sggx":
+            s = phase.get("S", [1, 1, 1, 0, 0, 0])
+            if isinstance(s, dict):
+                s = s.get("value", [1, 1, 1, 0, 0, 0])
+            if isinstance(s, str):
+                s = [float(x) for x in s.replace(",", " ").split()]
+            row["phase_type"] = P_SGGX
+            row["sggx_s"] = np.asarray(s, np.float32).reshape(6)
+        else:
+            raise ValueError(f"unsupported phase type {t!r}")
+        return row
+
     def add_medium(self, spec) -> int:
         """Medium row (src/media/{homogeneous,heterogeneous}.cpp)."""
         if spec is None:
@@ -445,14 +514,12 @@ class _Builder:
             else:
                 albedo = _spectrum3(spec.get("albedo", 0.75))
         phase = spec.get("phase", {"type": "isotropic"})
-        from ..render.medium import P_HG, P_ISOTROPIC
-        ptype = P_HG if phase.get("type") == "hg" else P_ISOTROPIC
+        prow = self._phase_row(phase)
         scale = float(spec.get("scale", 1.0))
         self.media.append(dict(
-            sigma_t=sigma_t, albedo=albedo, phase_type=ptype,
-            g=float(phase.get("g", 0.0)), scale=scale,
+            sigma_t=sigma_t, albedo=albedo, scale=scale,
             density_vol=density_vol, albedo_vol=albedo_vol,
-            majorant=float(np.max(sigma_t)) * scale * dens_max))
+            majorant=float(np.max(sigma_t)) * scale * dens_max, **prow))
         idx = len(self.media) - 1
         self.med_cache[key] = idx
         return idx
@@ -839,6 +906,7 @@ class _Builder:
         emitters = self._emitter_table(verts, faces, tri_shape, sphc, sphr,
                                        sphs, n_prims)
 
+        from ..render.medium import TAB_K as _TAB_K
         from ..render.medium import MediumTable
         from ..render.volume import VolumeGridTable
         if self.media:
@@ -858,7 +926,27 @@ class _Builder:
                     [r.get("albedo_vol", -1) for r in self.media], jnp.int32),
                 majorant=jnp.asarray(
                     [r.get("majorant", float(np.max(r["sigma_t"]) * r["scale"]))
-                     for r in self.media], jnp.float32))
+                     for r in self.media], jnp.float32),
+                phase_type2=jnp.asarray(
+                    [r.get("phase_type2", 0) for r in self.media], jnp.int32),
+                g2=jnp.asarray([r.get("g2", 0.0) for r in self.media],
+                               jnp.float32),
+                phase_type3=jnp.asarray(
+                    [r.get("phase_type3", 0) for r in self.media], jnp.int32),
+                g3=jnp.asarray([r.get("g3", 0.0) for r in self.media],
+                               jnp.float32),
+                blend_w=jnp.asarray(
+                    [r.get("blend_w", 0.5) for r in self.media], jnp.float32),
+                tab_pdf=jnp.asarray(np.stack(
+                    [r.get("tab_pdf", np.full(_TAB_K, 0.5, np.float32))
+                     for r in self.media]), jnp.float32),
+                tab_cdf=jnp.asarray(np.stack(
+                    [r.get("tab_cdf",
+                           np.linspace(0, 1, _TAB_K, dtype=np.float32))
+                     for r in self.media]), jnp.float32),
+                sggx_s=jnp.asarray(np.stack(
+                    [r.get("sggx_s", np.array([1, 1, 1, 0, 0, 0], np.float32))
+                     for r in self.media]), jnp.float32))
         else:
             med = MediumTable.empty()
         volumes = VolumeGridTable.build(self.volumes)

@@ -199,8 +199,7 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         wo_nee = si.to_local(ds.d)
         f_surf, pdf_surf_b = bsdf_eval_pdf(scene, si, wo_nee)
         sid = jnp.maximum(med, 0)
-        f_phase = phase_eval(media.phase_type[sid], media.g[sid],
-                             s["d"], ds.d)
+        f_phase = phase_eval(media, sid, s["d"], ds.d)
         f_nee = jnp.where(med_event[..., None], f_phase[..., None], f_surf)
         pdf_b = jnp.where(med_event, f_phase, pdf_surf_b)
         w_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_b))
@@ -214,8 +213,7 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         u1, smp = smp.next_1d()
         u2, smp = smp.next_2d()
         bs = bsdf_sample(scene, si, u1, u2)
-        wo_phase, pdf_phase = phase_sample(media.phase_type[sid],
-                                           media.g[sid], s["d"], u2)
+        wo_phase, pdf_phase = phase_sample(media, sid, s["d"], u2)
         d_surf = si.to_world(bs.wo)
         d_new = jnp.where(med_event[..., None], wo_phase, d_surf)
         o_new = jnp.where(med_event[..., None],

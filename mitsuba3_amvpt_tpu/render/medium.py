@@ -33,6 +33,14 @@ from ..core.rng import bits_to_float01, sample_tea_32
 
 P_ISOTROPIC = 0
 P_HG = 1
+P_RAYLEIGH = 2   # src/phase/rayleigh.cpp
+P_TAB = 3        # src/phase/tabphase.cpp (tabulated over cos theta)
+P_BLEND = 4      # src/phase/blendphase.cpp (two-lobe mixture)
+P_SGGX = 5       # src/phase/sggx.cpp + render/microflake.h
+
+# tabphase resolution: tabulated pdfs are resampled at load time onto
+# TAB_K uniform nodes over cos(theta) in [-1, 1]
+TAB_K = 64
 
 # hard cap on tracking-loop collisions per flight (wavefront-global
 # while_loop bound; optical depth per segment rarely exceeds ~100)
@@ -49,6 +57,19 @@ class MediumTable:
     density_vol: jnp.ndarray = None  # (M,) int32 volume id, -1 = constant
     albedo_vol: jnp.ndarray = None   # (M,) int32 volume id, -1 = constant
     majorant: jnp.ndarray = None     # (M,) scalar majorant extinction
+    # blendphase nested lobes (restricted to iso/hg/rayleigh):
+    # nested[0] = (phase_type2, g2), nested[1] = (phase_type3, g3),
+    # mixture = (1-w)*nested0 + w*nested1 (blendphase.cpp:128-133)
+    phase_type2: jnp.ndarray = None  # (M,) int32
+    g2: jnp.ndarray = None           # (M,)
+    phase_type3: jnp.ndarray = None  # (M,) int32
+    g3: jnp.ndarray = None           # (M,)
+    blend_w: jnp.ndarray = None      # (M,) probability of nested[1]
+    # tabphase: normalized pdf + cdf over TAB_K uniform cos-theta nodes
+    tab_pdf: jnp.ndarray = None      # (M, TAB_K)
+    tab_cdf: jnp.ndarray = None     # (M, TAB_K), cdf[..., -1] == 1
+    # sggx microflake NDF params [S_xx, S_yy, S_zz, S_xy, S_xz, S_yz]
+    sggx_s: jnp.ndarray = None       # (M, 6)
 
     @property
     def n(self):
@@ -66,6 +87,28 @@ class MediumTable:
             object.__setattr__(
                 self, "majorant",
                 jnp.max(self.sigma_t, -1) * self.scale)
+        if self.phase_type2 is None:
+            object.__setattr__(self, "phase_type2",
+                               jnp.zeros((M,), jnp.int32))
+        if self.g2 is None:
+            object.__setattr__(self, "g2", jnp.zeros((M,)))
+        if self.phase_type3 is None:
+            object.__setattr__(self, "phase_type3",
+                               jnp.zeros((M,), jnp.int32))
+        if self.g3 is None:
+            object.__setattr__(self, "g3", jnp.zeros((M,)))
+        if self.blend_w is None:
+            object.__setattr__(self, "blend_w", jnp.full((M,), 0.5))
+        if self.tab_pdf is None:
+            object.__setattr__(self, "tab_pdf",
+                               jnp.full((M, TAB_K), 0.5))
+        if self.tab_cdf is None:
+            object.__setattr__(
+                self, "tab_cdf",
+                jnp.broadcast_to(jnp.linspace(0.0, 1.0, TAB_K), (M, TAB_K)))
+        if self.sggx_s is None:
+            s = jnp.concatenate([jnp.ones((M, 3)), jnp.zeros((M, 3))], -1)
+            object.__setattr__(self, "sggx_s", s)
 
     @staticmethod
     def empty() -> "MediumTable":
@@ -79,34 +122,220 @@ class MediumTable:
 # phase functions
 # ---------------------------------------------------------------------------
 
-def phase_sample(ptype, g, wi_world, u2):
-    """Sample a scattered direction (world frame); returns (wo, pdf).
-    wi_world points toward the previous vertex (incoming)."""
-    iso = warp.square_to_uniform_sphere(u2)
-    # HG (src/phase/hg.cpp): cos_theta from the inverse CDF
-    g = jnp.where(jnp.abs(g) < 1e-3, 1e-3 * jnp.sign(g) + 1e-6, g)
-    sqr = (1.0 - g * g) / (1.0 + g - 2.0 * g * u2[..., 0])
-    ct = -(1.0 + g * g - sqr * sqr) / (2.0 * g)
+def _around(axis, ct, phi):
+    """Direction with polar angle acos(ct) around ``axis``."""
     st = m.safe_sqrt(1.0 - ct * ct)
+    s, t = m.coordinate_system(axis)
+    return (st * jnp.cos(phi))[..., None] * s \
+        + (st * jnp.sin(phi))[..., None] * t + ct[..., None] * axis
+
+
+def _hg_sample_ct(g, u):
+    """HG inverse CDF (src/phase/hg.cpp): cos between wo and -wi."""
+    g = jnp.where(jnp.abs(g) < 1e-3, 1e-3 * jnp.sign(g) + 1e-6, g)
+    sqr = (1.0 - g * g) / (1.0 + g - 2.0 * g * u)
+    return -(1.0 + g * g - sqr * sqr) / (2.0 * g)
+
+
+def _hg_eval(g, ct_fwd):
+    """HG value at cos(theta) between wo and the forward dir -wi."""
+    denom = 1.0 + g * g + 2.0 * g * ct_fwd
+    return warp.INV_FOURPI * (1.0 - g * g) / jnp.maximum(
+        denom * m.safe_sqrt(denom), 1e-8)
+
+
+def _rayleigh_eval(ct):
+    """(3/16pi)(1+cos^2) — rayleigh.cpp eval_rayleigh (symmetric in ct)."""
+    return (3.0 / 16.0) * warp.INV_PI * (1.0 + ct * ct)
+
+
+def _rayleigh_sample_ct(u):
+    """Invert the Rayleigh CDF via Cardano (rayleigh.cpp sample)."""
+    z = 2.0 * (2.0 * u - 1.0)
+    tmp = jnp.sqrt(z * z + 1.0)
+    return jnp.cbrt(z + tmp) + jnp.cbrt(z - tmp)
+
+
+def _simple_eval(ptype, g, ct_fwd):
+    """Dispatch over the non-tabulated azimuthal-symmetric lobes
+    (iso / hg / rayleigh).  ct_fwd = dot(wo, -wi)."""
+    val = jnp.full_like(ct_fwd, warp.INV_FOURPI)
+    val = jnp.where(ptype == P_HG, _hg_eval(g, ct_fwd), val)
+    val = jnp.where(ptype == P_RAYLEIGH, _rayleigh_eval(ct_fwd), val)
+    return val
+
+
+def _tab_eval(tab_pdf, ct_mi):
+    """Tabulated pdf lookup (tabphase.cpp eval_pdf): linear interp of the
+    per-row pdf at ct = dot(wo, wi), directional pdf = pdf(ct)/(2pi)."""
+    x = (jnp.clip(ct_mi, -1.0, 1.0) + 1.0) * 0.5 * (TAB_K - 1)
+    i = jnp.clip(x.astype(jnp.int32), 0, TAB_K - 2)
+    t = x - i.astype(x.dtype)
+    p0 = jnp.take_along_axis(tab_pdf, i[..., None], -1)[..., 0]
+    p1 = jnp.take_along_axis(tab_pdf, (i + 1)[..., None], -1)[..., 0]
+    return (p0 + (p1 - p0) * t) * (0.5 * warp.INV_PI)
+
+
+def _tab_sample_ct(tab_pdf, tab_cdf, u):
+    """Sample ct = dot(wo, wi) from the per-lane tabulated distribution
+    (piecewise-linear pdf; quadratic segment inversion as distr_1d.h)."""
+    i = jnp.clip(jnp.sum(tab_cdf <= u[..., None], -1) - 1, 0, TAB_K - 2)
+    c0 = jnp.take_along_axis(tab_cdf, i[..., None], -1)[..., 0]
+    p0 = jnp.take_along_axis(tab_pdf, i[..., None], -1)[..., 0]
+    p1 = jnp.take_along_axis(tab_pdf, (i + 1)[..., None], -1)[..., 0]
+    dx = 2.0 / (TAB_K - 1)
+    rem = (u - c0)
+    a = 0.5 * (p1 - p0) * dx
+    b = p0 * dx
+    disc = m.safe_sqrt(b * b + 4.0 * a * rem)
+    t = jnp.where(jnp.abs(a) > 1e-12 * jnp.abs(b) + 1e-20,
+                  m.safe_div(2.0 * rem, b + disc), m.safe_div(rem, b))
+    t = jnp.clip(t, 0.0, 1.0)
+    return -1.0 + (i.astype(u.dtype) + t) * dx
+
+
+# -- SGGX microflake distribution (render/microflake.h) ---------------------
+
+def _sggx_proj_area(w, s6):
+    """sqrt(w^T S w) — microflake.h sggx_projected_area."""
+    x, y, z = w[..., 0], w[..., 1], w[..., 2]
+    return m.safe_sqrt(
+        x * x * s6[..., 0] + y * y * s6[..., 1] + z * z * s6[..., 2]
+        + 2.0 * (x * y * s6[..., 3] + x * z * s6[..., 4]
+                 + y * z * s6[..., 5]))
+
+
+def _sggx_ndf_pdf(wm, s6):
+    """Visible-normal-free SGGX NDF pdf of a microflake normal
+    (microflake.h sggx_pdf)."""
+    sxx, syy, szz = s6[..., 0], s6[..., 1], s6[..., 2]
+    sxy, sxz, syz = s6[..., 3], s6[..., 4], s6[..., 5]
+    det = jnp.abs(sxx * syy * szz - sxx * syz * syz - syy * sxz * sxz
+                  - szz * sxy * sxy + 2.0 * sxy * sxz * syz)
+    x, y, z = wm[..., 0], wm[..., 1], wm[..., 2]
+    den = (x * x * (syy * szz - syz * syz)
+           + y * y * (sxx * szz - sxz * sxz)
+           + z * z * (sxx * syy - sxy * sxy)
+           + 2.0 * (x * y * (sxz * syz - szz * sxy)
+                    + x * z * (sxy * syz - syy * sxz)
+                    + y * z * (sxy * sxz - sxx * syz)))
+    return jnp.maximum(det, 0.0) * m.safe_sqrt(det) \
+        / (jnp.pi * jnp.maximum(den * den, 1e-20))
+
+
+def _sggx_sample_normal(wi, u2, s6):
+    """Sample a visible microflake normal (microflake.h sggx_sample):
+    express S in a frame whose +Z is wi, Cholesky-like decomposition of
+    the projected ellipsoid, cosine-hemisphere warp."""
+    fs, ft = m.coordinate_system(wi)
+    # S in the (fs, ft, wi) frame: s2 = B^T S B with B columns (fs,ft,wi)
+    def srow(v):  # S @ v
+        sxx, syy, szz = s6[..., 0], s6[..., 1], s6[..., 2]
+        sxy, sxz, syz = s6[..., 3], s6[..., 4], s6[..., 5]
+        return jnp.stack([
+            sxx * v[..., 0] + sxy * v[..., 1] + sxz * v[..., 2],
+            sxy * v[..., 0] + syy * v[..., 1] + syz * v[..., 2],
+            sxz * v[..., 0] + syz * v[..., 1] + szz * v[..., 2]], -1)
+
+    Sfs, Sft, Swi = srow(fs), srow(ft), srow(wi)
+    s2 = {}
+    for (a, va, Sa) in (("k", fs, Sfs), ("j", ft, Sft), ("i", wi, Swi)):
+        for (b, vb) in (("k", fs), ("j", ft), ("i", wi)):
+            s2[a + b] = jnp.sum(vb * Sa, -1)
+    inv_sqrt_s_ii = m.safe_div(1.0, m.safe_sqrt(s2["ii"]))
+    tmp = m.safe_sqrt(s2["jj"] * s2["ii"] - s2["ji"] * s2["ji"])
+    det = jnp.abs(
+        s2["kk"] * (s2["jj"] * s2["ii"] - s2["ji"] * s2["ji"])
+        - s2["kj"] * (s2["kj"] * s2["ii"] - s2["ji"] * s2["ki"])
+        + s2["ki"] * (s2["kj"] * s2["ji"] - s2["jj"] * s2["ki"]))
+    m_k = jnp.stack([m.safe_div(m.safe_sqrt(det), tmp),
+                     jnp.zeros_like(tmp), jnp.zeros_like(tmp)], -1)
+    m_j = jnp.stack([
+        -inv_sqrt_s_ii * m.safe_div(
+            s2["ki"] * s2["ji"] - s2["kj"] * s2["ii"], tmp),
+        inv_sqrt_s_ii * tmp, jnp.zeros_like(tmp)], -1)
+    m_i = inv_sqrt_s_ii[..., None] * jnp.stack(
+        [s2["ki"], s2["ji"], s2["ii"]], -1)
+    uvw = warp.square_to_cosine_hemisphere(u2)
+    nl = m.normalize(uvw[..., 0:1] * m_k + uvw[..., 1:2] * m_j
+                     + uvw[..., 2:3] * m_i)
+    return nl[..., 0:1] * fs + nl[..., 1:2] * ft + nl[..., 2:3] * wi
+
+
+def _phase_rows(media: MediumTable, sid):
+    return dict(ptype=media.phase_type[sid], g=media.g[sid],
+                ptype2=media.phase_type2[sid], g2=media.g2[sid],
+                ptype3=media.phase_type3[sid], g3=media.g3[sid],
+                blend_w=media.blend_w[sid], tab_pdf=media.tab_pdf[sid],
+                tab_cdf=media.tab_cdf[sid], sggx_s=media.sggx_s[sid])
+
+
+def phase_sample(media: MediumTable, sid, wi_world, u2):
+    """Sample a scattered direction (world frame); returns (wo, pdf).
+
+    wi_world points toward the previous vertex (incoming).  Dispatches
+    over iso / hg / rayleigh / tabphase / blendphase / sggx by masked
+    evaluation, like BSDFs (src/phase/*.cpp).
+    """
+    p = _phase_rows(media, sid)
+    ptype, g = p["ptype"], p["g"]
     phi = 2.0 * jnp.pi * u2[..., 1]
-    # frame around -wi (forward scattering dir)
     fwd = -wi_world
-    s, t = m.coordinate_system(fwd)
-    wo_hg = (st * jnp.cos(phi))[..., None] * s \
-        + (st * jnp.sin(phi))[..., None] * t + ct[..., None] * fwd
-    is_hg = ptype == P_HG
-    wo = jnp.where(is_hg[..., None], wo_hg, iso)
-    pdf = phase_eval(ptype, g, wi_world, wo)
+
+    # blendphase: stochastically pick a nested lobe with an independent
+    # TEA-derived uniform (decision decorrelated from u2; the reference
+    # remaps sample1, blendphase.cpp:128-144)
+    u_sel = bits_to_float01(sample_tea_32(
+        (u2[..., 0] * 16777216.0).astype(jnp.uint32),
+        jnp.uint32(0x9e41), 4)[0])
+    is_blend = ptype == P_BLEND
+    pick1 = u_sel <= p["blend_w"]
+    eff_type = jnp.where(is_blend,
+                         jnp.where(pick1, p["ptype3"], p["ptype2"]), ptype)
+    eff_g = jnp.where(is_blend,
+                      jnp.where(pick1, p["g3"], p["g2"]), g)
+
+    # azimuthally symmetric lobes around fwd = -wi
+    ct_iso = 1.0 - 2.0 * u2[..., 0]
+    ct = jnp.where(eff_type == P_HG,
+                   _hg_sample_ct(eff_g, u2[..., 0]), ct_iso)
+    ct = jnp.where(eff_type == P_RAYLEIGH,
+                   jnp.clip(_rayleigh_sample_ct(u2[..., 0]), -1.0, 1.0), ct)
+    # tabphase samples ct' = dot(wo, wi) (tabphase.cpp:85-99)
+    ct_tab = _tab_sample_ct(p["tab_pdf"], p["tab_cdf"], u2[..., 0])
+    ct = jnp.where(eff_type == P_TAB, -ct_tab, ct)
+    wo = _around(fwd, ct, phi)
+
+    # sggx: reflect mi.wi (= -ray.d; callers pass the ray direction)
+    # about a sampled visible microflake normal (sggx.cpp:85-101)
+    mi_wi = -wi_world
+    n_s = _sggx_sample_normal(mi_wi, u2, p["sggx_s"])
+    wo_sggx = 2.0 * jnp.sum(mi_wi * n_s, -1, keepdims=True) * n_s - mi_wi
+    wo = jnp.where((ptype == P_SGGX)[..., None], m.normalize(wo_sggx), wo)
+    pdf = phase_eval(media, sid, wi_world, wo)
     return wo, pdf
 
 
-def phase_eval(ptype, g, wi_world, wo_world):
-    """Phase value == pdf (normalized) for iso/HG."""
-    ct = m.dot(-wi_world, wo_world)
-    denom = 1.0 + g * g + 2.0 * g * ct
-    hg = warp.INV_FOURPI * (1.0 - g * g) / jnp.maximum(
-        denom * m.safe_sqrt(denom), 1e-8)
-    return jnp.where(ptype == P_HG, hg, jnp.full_like(ct, warp.INV_FOURPI))
+def phase_eval(media: MediumTable, sid, wi_world, wo_world):
+    """Phase value == pdf (all implemented lobes importance-sample
+    themselves exactly; phase.h eval_pdf)."""
+    p = _phase_rows(media, sid)
+    ptype = p["ptype"]
+    ct_fwd = m.dot(-wi_world, wo_world)
+    val = _simple_eval(ptype, p["g"], ct_fwd)
+    val = jnp.where(ptype == P_TAB, _tab_eval(p["tab_pdf"], -ct_fwd), val)
+    # blendphase mixture: (1-w)*nested0 + w*nested1 (blendphase.cpp:178+)
+    v0 = _simple_eval(p["ptype2"], p["g2"], ct_fwd)
+    v1 = _simple_eval(p["ptype3"], p["g3"], ct_fwd)
+    val = jnp.where(ptype == P_BLEND,
+                    (1.0 - p["blend_w"]) * v0 + p["blend_w"] * v1, val)
+    # sggx: 0.25 * D(wm) / sigma(mi.wi), wm = half vector of (mi.wi, wo)
+    # with mi.wi = -ray.d (sggx.cpp:117)
+    wm = m.normalize(wo_world - wi_world)
+    v_sggx = 0.25 * _sggx_ndf_pdf(wm, p["sggx_s"]) \
+        / jnp.maximum(_sggx_proj_area(wi_world, p["sggx_s"]), 1e-8)
+    val = jnp.where(ptype == P_SGGX, v_sggx, val)
+    return val
 
 
 # ---------------------------------------------------------------------------
