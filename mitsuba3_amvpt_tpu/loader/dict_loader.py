@@ -60,6 +60,7 @@ _BSDF_TYPE = {
     "null": bsdf_reg.D_NULL,
     "principled": bsdf_reg.D_PRINCIPLED,
     "principledthin": bsdf_reg.D_PRINCIPLEDTHIN,
+    "pplastic": bsdf_reg.D_PPLASTIC,
 }
 
 
@@ -261,7 +262,7 @@ class _Builder:
         albedo, albedo_tex = np.array([0.5] * 3), -1
         if t == "diffuse":
             albedo, albedo_tex = self.resolve_texture(spec.get("reflectance", 0.5))
-        if t in ("plastic", "roughplastic"):
+        if t in ("plastic", "roughplastic", "pplastic"):
             albedo, albedo_tex = self.resolve_texture(
                 spec.get("diffuse_reflectance", 0.5))
         if t in ("principled", "principledthin"):
@@ -269,6 +270,8 @@ class _Builder:
                 spec.get("base_color", 0.5))
 
         alpha = np.array([0.1, 0.1])
+        if t == "pplastic":    # pplastic.cpp:133 default alpha 0.06
+            alpha = np.array([0.06, 0.06])
         alpha_tex = -1
         if "alpha" in spec:
             a = spec["alpha"]
@@ -321,6 +324,8 @@ class _Builder:
         int_ior = ior_of(spec.get("int_ior"), 1.5046)
         ext_ior = ior_of(spec.get("ext_ior"), 1.000277)
         if t in ("plastic", "roughplastic"):
+            int_ior = ior_of(spec.get("int_ior"), 1.49)
+        if t == "pplastic":   # polypropylene default (pplastic.cpp:159)
             int_ior = ior_of(spec.get("int_ior"), 1.49)
         eta = int_ior / ext_ior
         if "eta" in spec and t in ("dielectric", "roughdielectric",

@@ -43,9 +43,12 @@ D_PRINCIPLED = 9
 D_BLEND = 10      # blendbsdf.cpp: weight-mix of two children
 D_MASK = 11       # mask.cpp: opacity-mix of child and null transmission
 D_PRINCIPLEDTHIN = 12  # principledthin.cpp: thin-surface principled
+D_PPLASTIC = 13   # pplastic.cpp: rough specular + diffuse, fixed lobe
+#                   weights (unpolarized path; polarized eval lives in
+#                   render/polarized.py)
 
 _SMOOTH_TYPES = (D_DIFFUSE, D_ROUGHCONDUCTOR, D_ROUGHDIELECTRIC,
-                 D_PLASTIC, D_ROUGHPLASTIC)
+                 D_PLASTIC, D_ROUGHPLASTIC, D_PPLASTIC)
 
 
 @struct.dataclass
@@ -452,6 +455,53 @@ def _rough_plastic_eval_pdf(p, wi, wo):
     pdf_spec = m.safe_div(mf.pdf_vndf(wi, h, ax, ay), 4.0 * jnp.abs(m.dot(wo, h)))
     pdf = prob_spec * pdf_spec + (1.0 - prob_spec) * warp.square_to_cosine_hemisphere_pdf(wo)
     return jnp.where(active[..., None], f, 0.0), jnp.where(active, pdf, 0.0)
+
+
+# -- pplastic (src/bsdfs/pplastic.cpp, unpolarized branch :371-397) --------
+#
+# Rough GGX specular + diffuse where both lobes are weighted by smooth
+# Fresnel terms; unlike roughplastic there is NO internal-scattering
+# compensation and the lobe-selection probability is the FIXED mean-
+# reflectance weight m_specular_sampling_weight (pplastic.cpp:211,233).
+
+def _pplastic_eval_pdf(p, wi, wo):
+    ci, co = m.cos_theta(wi), m.cos_theta(wo)
+    active = (ci > 0.0) & (co > 0.0)
+    ax, ay = p["alpha"][..., 0], p["alpha"][..., 1]
+    h = m.normalize(wi + wo)
+    D = mf.ndf(h, ax, ay)
+    G = mf.G(wi, wo, h, ax, ay)
+    F_h, _, _, _ = fr.fresnel_dielectric(m.dot(wi, h), p["eta"])
+    f_spec = p["spec_refl"] * m.safe_div(D * G * F_h, 4.0 * ci)[..., None]
+    F_i, _, _, _ = fr.fresnel_dielectric(ci, p["eta"])
+    F_o, _, _, _ = fr.fresnel_dielectric(co, p["eta"])
+    f_diff = ((1.0 - F_o) * (1.0 - F_i))[..., None] * p["albedo"] \
+        * (warp.INV_PI * co)[..., None]
+    f = f_spec + f_diff
+    prob_spec = p["spec_weight"]
+    pdf_spec = m.safe_div(mf.pdf_vndf(wi, h, ax, ay),
+                          4.0 * jnp.abs(m.dot(wo, h)))
+    pdf_spec = jnp.where((m.dot(wi, h) > 0.0) & (m.dot(wo, h) > 0.0),
+                         pdf_spec, 0.0)
+    pdf = prob_spec * pdf_spec \
+        + (1.0 - prob_spec) * warp.square_to_cosine_hemisphere_pdf(wo)
+    return jnp.where(active[..., None], f, 0.0), jnp.where(active, pdf, 0.0)
+
+
+def _pplastic_sample(p, wi, u1, u2):
+    ci = m.cos_theta(wi)
+    active = ci > 0.0
+    spec = u1 < p["spec_weight"]
+    ax, ay = p["alpha"][..., 0], p["alpha"][..., 1]
+    h, _ = mf.sample_vndf(wi, u2, ax, ay)
+    wo_spec = m.reflect_h(wi, h)
+    wo_diff = warp.square_to_cosine_hemisphere(u2)
+    wo = jnp.where(spec[..., None], wo_spec, wo_diff)
+    f, pdf = _pplastic_eval_pdf(p, wi, wo)
+    ok = active & (pdf > 0.0) & (m.cos_theta(wo) > 0.0)
+    weight = jnp.where(ok[..., None], m.safe_div(f, pdf[..., None]), 0.0)
+    return wo, jnp.where(ok, pdf, 0.0), weight, jnp.ones_like(ci), \
+        jnp.zeros_like(active), jnp.zeros_like(active)
 
 
 # -- principled (src/bsdfs/principled.cpp, 905 LoC; Burley 2012/2015) ------
@@ -891,6 +941,7 @@ _SAMPLERS = {
     D_PLASTIC: _plastic_sample,
     D_ROUGHPLASTIC: _rough_plastic_sample,
     D_THINDIELECTRIC: _thindielectric_sample,
+    D_PPLASTIC: _pplastic_sample,
     D_NULL: _null_sample,
 }
 _EVALS = {
@@ -904,13 +955,14 @@ _EVALS = {
     D_PLASTIC: _plastic_eval_pdf,
     D_ROUGHPLASTIC: _rough_plastic_eval_pdf,
     D_THINDIELECTRIC: _thindielectric_eval_pdf,
+    D_PPLASTIC: _pplastic_eval_pdf,
     D_NULL: _null_eval_pdf,
 }
 
 # types whose twosided flag flips the frame (transmissive types handle
 # both sides natively)
 _FLIPPABLE = (D_DIFFUSE, D_CONDUCTOR, D_ROUGHCONDUCTOR, D_PLASTIC,
-              D_ROUGHPLASTIC, D_PRINCIPLED)
+              D_ROUGHPLASTIC, D_PRINCIPLED, D_PPLASTIC)
 
 
 def _blend_weight(scene, si):

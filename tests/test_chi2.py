@@ -267,3 +267,63 @@ class TestBSDFChi2:
         t = ChiSquareTest(SphericalDomain(), sample, pdf, sample_dim=3,
                           sample_count=300_000, res=41, ires=16, seed=5)
         assert t.run(significance_level=0.002), (tag, t.messages)
+
+
+class TestPPlasticChi2:
+    """pplastic (src/bsdfs/pplastic.cpp): GGX specular + diffuse with
+    fixed mean-reflectance lobe weights (3-dim sample drives the
+    stochastic lobe pick)."""
+
+    @pytest.mark.parametrize("alpha,wi", [
+        (0.06, [0.4, 0.1, 0.8]),
+        (0.3, [0.1, -0.6, 0.7]),
+    ])
+    def test_pplastic(self, alpha, wi):
+        import mitsuba3_amvpt_tpu as mt
+        from mitsuba3_amvpt_tpu.render.bsdfs import (bsdf_eval_pdf,
+                                                     bsdf_sample)
+        sc = mt.load_dict({
+            "type": "scene",
+            "s": {"type": "rectangle",
+                  "bsdf": {"type": "pplastic",
+                           "diffuse_reflectance": 0.6,
+                           "alpha": alpha}},
+        })
+        wi = m.normalize(jnp.asarray(wi, jnp.float32))
+        mk = _make_si_factory(wi)
+
+        def sample(u):
+            bs = bsdf_sample(sc, mk(u.shape[0]), u[:, 2], u[:, :2])
+            return jnp.where((bs.pdf > 0)[..., None], bs.wo, jnp.nan)
+
+        def pdf(d):
+            _, p = bsdf_eval_pdf(sc, mk(d.shape[0]), d)
+            return p
+
+        t = ChiSquareTest(SphericalDomain(), sample, pdf, sample_dim=3,
+                          sample_count=300_000, res=41, seed=5)
+        assert t.run(significance_level=0.002), t.messages
+
+    def test_pplastic_energy_and_reciprocity_shape(self):
+        """Eval is reflection-only, below-horizon wo rejected, and the
+        diffuse floor carries the (1-Fi)(1-Fo) dimming."""
+        import mitsuba3_amvpt_tpu as mt
+        from mitsuba3_amvpt_tpu.render.bsdfs import bsdf_eval_pdf
+        sc = mt.load_dict({
+            "type": "scene",
+            "s": {"type": "rectangle",
+                  "bsdf": {"type": "pplastic", "diffuse_reflectance": 0.6,
+                           "alpha": 0.2}},
+        })
+        wi = m.normalize(jnp.asarray([0.0, 0.0, 1.0], jnp.float32))
+        mk = _make_si_factory(wi)
+        wo_up = jnp.asarray([[0.0, 0.0, 1.0]])
+        wo_dn = jnp.asarray([[0.0, 0.0, -1.0]])
+        f_up, _ = bsdf_eval_pdf(sc, mk(1), wo_up)
+        f_dn, _ = bsdf_eval_pdf(sc, mk(1), wo_dn)
+        assert float(f_up[0, 0]) > 0.0
+        assert float(jnp.abs(f_dn).max()) == 0.0
+        # diffuse floor at normal incidence: (1-F0)^2 * 0.6/pi, F0~0.04
+        import numpy as np
+        approx = (1 - 0.0394) ** 2 * 0.6 / np.pi
+        assert float(f_up[0, 0]) > approx * 0.9
