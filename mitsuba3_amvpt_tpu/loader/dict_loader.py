@@ -61,6 +61,9 @@ _BSDF_TYPE = {
     "principled": bsdf_reg.D_PRINCIPLED,
     "principledthin": bsdf_reg.D_PRINCIPLEDTHIN,
     "pplastic": bsdf_reg.D_PPLASTIC,
+    "polarizer": bsdf_reg.D_POLARIZER,
+    "retarder": bsdf_reg.D_RETARDER,
+    "circular": bsdf_reg.D_CIRCULAR,
 }
 
 
@@ -291,8 +294,18 @@ class _Builder:
             else:
                 alpha = np.array([float(r), float(r)])
 
-        # principled extras (src/bsdfs/principled.cpp property set)
+        if t in ("polarizer", "retarder", "circular"):
+            # transmittance rides in the albedo slot; angles in extra
+            albedo = _spectrum3(spec.get("transmittance", 1.0))
+
+        # principled extras (src/bsdfs/principled.cpp property set);
+        # for polarization elements: extra[0] = theta (deg),
+        # extra[1] = retardance delta (deg), extra[2] = left_handed
         extra = np.zeros(10)
+        if t in ("polarizer", "retarder", "circular"):
+            extra[0] = float(_spectrum3(spec.get("theta", 0.0)).mean())
+            extra[1] = float(_spectrum3(spec.get("delta", 90.0)).mean())
+            extra[2] = 1.0 if spec.get("left_handed", False) else 0.0
         if t in ("principled", "principledthin"):
             extra = np.array([
                 float(spec.get("metallic", 0.0)),

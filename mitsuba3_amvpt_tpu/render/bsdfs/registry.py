@@ -46,6 +46,12 @@ D_PRINCIPLEDTHIN = 12  # principledthin.cpp: thin-surface principled
 D_PPLASTIC = 13   # pplastic.cpp: rough specular + diffuse, fixed lobe
 #                   weights (unpolarized path; polarized eval lives in
 #                   render/polarized.py)
+# polarization optical elements (delta forward transmission; their
+# Mueller action is applied by the polarized integrator
+# render/integrators/stokes.py; the scalar path keeps the M00 energy):
+D_POLARIZER = 14  # polarizer.cpp: linear polarizer, angle extra[0] deg
+D_RETARDER = 15   # retarder.cpp: linear retarder, retardance extra[1] deg
+D_CIRCULAR = 16   # circular.cpp: circular polarizer, extra[2] = left
 
 _SMOOTH_TYPES = (D_DIFFUSE, D_ROUGHCONDUCTOR, D_ROUGHDIELECTRIC,
                  D_PLASTIC, D_ROUGHPLASTIC, D_PPLASTIC)
@@ -920,6 +926,27 @@ def _principledthin_sample(p, wi, u1, u2):
 
 # -- null (src/bsdfs/null.cpp) ---------------------------------------------
 
+# -- polarization elements (polarizer/retarder/circular.cpp) ---------------
+#
+# Forward-facing Dirac delta transmission.  In the scalar (unpolarized)
+# pipeline they only attenuate by the M00 element of their Mueller
+# matrix: 0.5*T for the (linear|circular) polarizer, T for the retarder
+# (polarizer.cpp:148, retarder.cpp / circular.cpp unpolarized branches).
+
+def _polar_element_sample_factory(m00_scale):
+    def _sample(p, wi, u1, u2):
+        one = jnp.ones(wi.shape[:-1])
+        w = m00_scale * p["albedo"]    # transmittance lives in albedo
+        return -wi, one, w, one, jnp.ones_like(one, bool), \
+            jnp.ones_like(one, bool)
+    return _sample
+
+
+_polarizer_sample = _polar_element_sample_factory(0.5)
+_retarder_sample = _polar_element_sample_factory(1.0)
+_circular_sample = _polar_element_sample_factory(0.5)
+
+
 def _null_sample(p, wi, u1, u2):
     one = jnp.ones(wi.shape[:-1])
     return -wi, one, jnp.ones(wi.shape[:-1] + (3,)), one, \
@@ -943,6 +970,9 @@ _SAMPLERS = {
     D_THINDIELECTRIC: _thindielectric_sample,
     D_PPLASTIC: _pplastic_sample,
     D_NULL: _null_sample,
+    D_POLARIZER: _polarizer_sample,
+    D_RETARDER: _retarder_sample,
+    D_CIRCULAR: _circular_sample,
 }
 _EVALS = {
     D_PRINCIPLED: _principled_eval_pdf,
@@ -957,6 +987,9 @@ _EVALS = {
     D_THINDIELECTRIC: _thindielectric_eval_pdf,
     D_PPLASTIC: _pplastic_eval_pdf,
     D_NULL: _null_eval_pdf,
+    D_POLARIZER: _null_eval_pdf,
+    D_RETARDER: _null_eval_pdf,
+    D_CIRCULAR: _null_eval_pdf,
 }
 
 # types whose twosided flag flips the frame (transmissive types handle
@@ -1098,7 +1131,8 @@ def bsdf_flags_delta(scene, si):
     i = jnp.maximum(si.material_index, 0)
     t = mt.mtype[i]
     return ((t == D_CONDUCTOR) | (t == D_DIELECTRIC)
-            | (t == D_THINDIELECTRIC) | (t == D_NULL))
+            | (t == D_THINDIELECTRIC) | (t == D_NULL)
+            | (t == D_POLARIZER) | (t == D_RETARDER) | (t == D_CIRCULAR))
 
 
 def eval_roughness(scene, si):
@@ -1111,6 +1145,8 @@ def eval_roughness(scene, si):
     rtex = mt.alpha_tex[i]
     rough_t = scene.textures.eval_bilinear(jnp.maximum(rtex, 0), si.uv)[..., 0]
     alpha = jnp.where(rtex >= 0, rough_t, alpha)
-    delta = ((t == D_CONDUCTOR) | (t == D_DIELECTRIC) | (t == D_THINDIELECTRIC))
+    delta = ((t == D_CONDUCTOR) | (t == D_DIELECTRIC)
+             | (t == D_THINDIELECTRIC) | (t == D_POLARIZER)
+             | (t == D_RETARDER) | (t == D_CIRCULAR))
     diffuse_like = (t == D_DIFFUSE)
     return jnp.where(delta, 0.0, jnp.where(diffuse_like, 1.0, alpha))
