@@ -121,13 +121,19 @@ def render_pass(scene, acc, seed, spp_pass: int, integrator: str = "path",
         sampler = Sampler.seed_stratified(seed, pixel, sample,
                                           spp_total or spp_pass,
                                           mode=sampler_mode)
-    ray, weight, pos, view, sampler = sample_rays(scene, sampler)
+    from ...utils.profiler import ScopedPhase
+    with ScopedPhase("SampleRays"):   # profiler.h CreateSurfaceInteraction
+        ray, weight, pos, view, sampler = sample_rays(scene, sampler)
     sample_fn = _INTEGRATORS[integrator]
-    L, valid, aovs, sampler = sample_fn(scene, ray, sampler,
-                                        max_depth=max_depth, rr_depth=rr_depth)
+    with ScopedPhase("SamplingIntegratorSample"):
+        L, valid, aovs, sampler = sample_fn(scene, ray, sampler,
+                                            max_depth=max_depth,
+                                            rr_depth=rr_depth)
     # lanes are pixel-major (spp consecutive) -> scatter-free splat
-    jitter = pos - jnp.floor(pos)
-    return film_put_coalesced(scene.film, acc, jitter, L * weight, spp_pass)
+    with ScopedPhase("ImageBlockPut"):
+        jitter = pos - jnp.floor(pos)
+        return film_put_coalesced(scene.film, acc, jitter, L * weight,
+                                  spp_pass)
 
 
 def render(scene, spp: int = 16, seed: int = 0, integrator: str = "path",
