@@ -138,8 +138,64 @@ def square_to_beckmann_pdf(d, alpha):
     return jnp.where(ct > 1e-9, pdf, 0.0)
 
 
-def square_to_rough_fiber(*a, **k):  # pragma: no cover - parity stub
-    raise NotImplementedError("rough fiber warp (hair BSDF) — later round")
+def _bessel_i0(x):
+    """Modified Bessel I0, 10-term series (warp.h detail::i0)."""
+    result = jnp.ones_like(x)
+    x2 = x * x
+    xi = x2
+    denom = 4.0
+    for i in range(1, 11):
+        result = result + xi / denom
+        xi = xi * x2
+        denom = denom * 4.0 * (i + 1.0) ** 2
+    return result
+
+
+def _log_bessel_i0(x):
+    """warp.h detail::log_i0 (asymptotic branch for large args)."""
+    return jnp.where(
+        x > 12.0,
+        x + 0.5 * (jnp.log(1.0 / (2.0 * PI * jnp.maximum(x, 1e-6)))
+                   + 1.0 / (8.0 * jnp.maximum(x, 1e-6))),
+        jnp.log(_bessel_i0(jnp.minimum(x, 12.0))))
+
+
+def square_to_rough_fiber(s3, wi, tangent, kappa):
+    """warp.h:713 — scattered direction from a rough fiber with tangent
+    ``tangent`` (vMF-perturbed specular cone), s3 = 3 uniform samples."""
+    t_n = m.normalize(tangent)
+    fs, ft = m.coordinate_system(t_n)
+    wi_l = m.vec(m.dot(wi, fs), m.dot(wi, ft), m.dot(wi, t_n))
+    sp, cp = jnp.sin(2.0 * PI * s3[..., 0]), jnp.cos(2.0 * PI * s3[..., 0])
+    ct = wi_l[..., 2]
+    st = m.safe_sqrt(1.0 - ct * ct)
+    wo_l = m.vec(cp * st, sp * st, -ct)
+    pert = square_to_von_mises_fisher(s3[..., 1:3], kappa)
+    ws, wt = m.coordinate_system(wo_l)
+    wo_l = (pert[..., 0:1] * ws + pert[..., 1:2] * wt
+            + pert[..., 2:3] * wo_l)
+    return (wo_l[..., 0:1] * fs + wo_l[..., 1:2] * ft
+            + wo_l[..., 2:3] * t_n)
+
+
+def square_to_rough_fiber_pdf(v, wi, tangent, kappa):
+    """warp.h:771 — analytic density of square_to_rough_fiber (d'Eon et
+    al. 2011 energy-conserving fiber model, with the numerical fixes of
+    d'Eon et al. 2013)."""
+    sin_theta_i = m.dot(wi, tangent)
+    sin_theta_o = m.dot(v, tangent)
+    cos_theta_i = m.safe_sqrt(1.0 - sin_theta_i ** 2)
+    cos_theta_o = m.safe_sqrt(1.0 - sin_theta_o ** 2)
+    c = cos_theta_i * cos_theta_o * kappa
+    s = sin_theta_i * sin_theta_o * kappa
+    kap = jnp.maximum(kappa, 1e-12)
+    small = jnp.minimum(kap, 10.0)   # keep sinh in range on the dead branch
+    return jnp.where(
+        kappa > 10.0,
+        jnp.exp(-s + _log_bessel_i0(c) - kap + 0.6931 + jnp.log(0.5 * kap))
+        * INV_TWOPI,
+        jnp.exp(-s) * _bessel_i0(c) * small / (2.0 * jnp.sinh(small))
+        * INV_TWOPI)
 
 
 # -- von Mises-Fisher -------------------------------------------------------

@@ -31,7 +31,7 @@ IOR = {"vacuum": 1.0, "air": 1.000277, "water": 1.3330, "glass": 1.5046,
        "bk7": 1.5046, "diamond": 2.419, "acrylic": 1.49,
        "polypropylene": 1.49, "ethanol": 1.361, "pet": 1.5750,
        "sapphire": 1.7682, "water ice": 1.31, "fused quartz": 1.458,
-       "pyrex": 1.470, "bromine": 1.661}
+       "pyrex": 1.470, "bromine": 1.661, "amber": 1.55}
 
 # Conductor eta/k RGB presets (fits of spectra shipped with Mitsuba)
 CONDUCTORS = {
@@ -46,7 +46,8 @@ CONDUCTORS = {
 }
 
 _SHAPE_TYPES = ("rectangle", "cube", "disk", "cylinder", "sphere", "obj",
-                "ply", "trimesh", "instance", "merge", "shapegroup")
+                "ply", "serialized", "trimesh", "instance", "merge",
+                "shapegroup", "linearcurve", "bsplinecurve")
 
 _BSDF_TYPE = {
     "diffuse": bsdf_reg.D_DIFFUSE,
@@ -64,6 +65,8 @@ _BSDF_TYPE = {
     "polarizer": bsdf_reg.D_POLARIZER,
     "retarder": bsdf_reg.D_RETARDER,
     "circular": bsdf_reg.D_CIRCULAR,
+    "measured": bsdf_reg.D_MEASURED,
+    "hair": bsdf_reg.D_HAIR,
 }
 
 
@@ -154,6 +157,8 @@ class _Builder:
         self.faces = []
         self.vns = []
         self.vuvs = []
+        self.vtans = []          # per-vertex fiber tangents (curves)
+        self.has_tangents = False
         self.face_hasvn = []
         self.face_hasuv = []
         self.tri_shape = []
@@ -181,6 +186,8 @@ class _Builder:
         self.accel = "auto"
         self.shapegroups = {}    # id -> list of child shape specs
         self.sensor_shape = -1   # shape id carrying an irradiancemeter
+        self.measured_tables = []   # MeasuredBSDF pytrees (bsdf type 17)
+        self.measured_cache = {}    # filename -> index
         self.distant_spec = None  # deferred distant sensor (needs bbox)
 
     # ---------------- textures ----------------
@@ -298,10 +305,47 @@ class _Builder:
             # transmittance rides in the albedo slot; angles in extra
             albedo = _spectrum3(spec.get("transmittance", 1.0))
 
+        meas_idx = -1
+        if t == "measured":
+            # RGL tensor file; table stored on the scene, row points at
+            # it via child_a (measured.cpp plugin)
+            fname = spec["filename"]
+            meas_idx = self.measured_cache.get(fname, -1)
+            if meas_idx < 0:
+                from ..render.bsdfs.measured import MeasuredBSDF
+                self.measured_tables.append(MeasuredBSDF.from_file(fname))
+                meas_idx = len(self.measured_tables) - 1
+                self.measured_cache[fname] = meas_idx
+            alpha = np.array([0.5, 0.5])   # eval_roughness parity
+
         # principled extras (src/bsdfs/principled.cpp property set);
         # for polarization elements: extra[0] = theta (deg),
         # extra[1] = retardance delta (deg), extra[2] = left_handed
         extra = np.zeros(10)
+        if t == "hair":
+            # hair.cpp:155-199 + update():544-563: precompute the
+            # longitudinal variances / azimuthal logistic scale; sigma_a
+            # (pigmentation-mixed) rides in the albedo slot
+            lr = float(spec.get("longitudinal_roughness", 0.3))
+            ar = float(spec.get("azimuthal_roughness", 0.3))
+            if not (0.0 <= lr <= 1.0) or not (0.0 <= ar <= 1.0):
+                raise ValueError("hair roughness must be in [0, 1]")
+            v0 = (0.726 * lr + 0.812 * lr ** 2 + 3.7 * lr ** 20) ** 2
+            extra[0:3] = [v0, 0.25 * v0, 4.0 * v0]
+            extra[3] = np.sqrt(np.pi / 8.0) * (
+                0.265 * ar + 1.194 * ar ** 2 + 5.372 * ar ** 22)
+            extra[4] = np.deg2rad(float(spec.get("scale_tilt", 2.0)))
+            if "sigma_a" in spec:
+                albedo, albedo_tex = self.resolve_texture(spec["sigma_a"])
+                albedo = albedo * float(spec.get("scale", 1.0))
+            else:   # melanin pigmentation (hair.cpp:740-760)
+                eu = float(spec.get("eumelanin", 1.3))
+                ph = float(spec.get("pheomelanin", 0.2))
+                albedo = (eu * np.array(bsdf_reg._EUMELANIN_SIGMA_A)
+                          + ph * np.array(bsdf_reg._PHEOMELANIN_SIGMA_A))
+            # int_ior amber / ext_ior air (hair.cpp:167-169)
+            spec = dict(spec, int_ior=spec.get("int_ior", "amber"))
+            alpha = np.array([np.sqrt(0.5 * (lr * lr + ar * ar))] * 2)
         if t in ("polarizer", "retarder", "circular"):
             extra[0] = float(_spectrum3(spec.get("theta", 0.0)).mean())
             extra[1] = float(_spectrum3(spec.get("delta", 90.0)).mean())
@@ -372,7 +416,7 @@ class _Builder:
                     eta=eta, spec_refl=spec_refl, spec_trans=spec_trans,
                     twosided=twosided, fdr_int=fdr, spec_weight=sw,
                     extra=extra, normal_tex=normal_tex, bump_tex=bump_tex,
-                    child_a=-1, child_b=-1)
+                    child_a=meas_idx, child_b=-1)
 
     def _wrapper_row(self, spec, twosided, normal_tex, bump_tex):
         """blendbsdf / mask rows (src/bsdfs/{blendbsdf,mask}.cpp):
@@ -620,6 +664,7 @@ class _Builder:
             self.sph_shape.append(shape_id)
             return
 
+        vt = None   # per-vertex fiber tangents (curve shapes only)
         if t == "rectangle":
             v, f, vn, uv = meshes.rectangle()
         elif t == "cube":
@@ -636,6 +681,22 @@ class _Builder:
             v, f, vn, uv = meshes.load_ply(spec["filename"])
             if not spec.get("face_normals", False) and vn is None:
                 vn = _smooth_normals(v, f)
+        elif t == "serialized":
+            v, f, vn, uv = meshes.load_serialized(
+                spec["filename"], int(spec.get("shape_index", 0)))
+            if not spec.get("face_normals", False) and vn is None:
+                vn = _smooth_normals(v, f)
+        elif t in ("linearcurve", "bsplinecurve"):
+            # curve tube tessellation (loader/curves.py); to_world acts
+            # on control points, radii invariant -> bake is identity
+            from . import curves as _curves
+            v, f, vn, uv, vt = _curves.load_curves(
+                spec["filename"],
+                kind="linear" if t == "linearcurve" else "bspline",
+                subdiv=int(spec.get("subdiv", 4)),
+                radial=int(spec.get("radial", 8)),
+                to_world=tw)
+            tw = np.eye(4)
         elif t == "trimesh":
             v = np.asarray(spec["vertices"], np.float64)
             f = np.asarray(spec["faces"], np.int32)
@@ -665,6 +726,9 @@ class _Builder:
         else:
             self.vns.append(np.zeros_like(v_w))
         self.vuvs.append(np.zeros((len(v_w), 2)) if uv is None else np.asarray(uv))
+        self.vtans.append(np.zeros((len(v_w), 3)) if vt is None
+                          else np.asarray(vt))
+        self.has_tangents |= vt is not None
         self.face_hasvn.append(np.full(F, vn_w is not None))
         self.face_hasuv.append(np.full(F, uv is not None))
         self.tri_shape.append(np.full(F, shape_id, np.int32))
@@ -810,6 +874,8 @@ class _Builder:
             hasvn = np.concatenate(self.face_hasvn, 0)
             hasuv = np.concatenate(self.face_hasuv, 0)
             tri_shape = np.concatenate(self.tri_shape, 0)
+            vtans = (np.concatenate(self.vtans, 0).astype(np.float32)
+                     if self.has_tangents else None)
         else:
             verts = np.zeros((3, 3), np.float32)
             faces = np.zeros((0, 3), np.int32)
@@ -818,6 +884,7 @@ class _Builder:
             hasvn = np.zeros((0,), bool)
             hasuv = np.zeros((0,), bool)
             tri_shape = np.zeros((0,), np.int32)
+            vtans = None
 
         sphc = (np.asarray(self.sph_center, np.float32).reshape(-1, 3)
                 if self.sph_center else np.zeros((0, 3), np.float32))
@@ -858,7 +925,8 @@ class _Builder:
             sph_shape=jnp.asarray(sphs),
             bvh_bbox=jnp.asarray(bvh_bbox), bvh_meta=jnp.asarray(bvh_meta),
             bvh_prim_ids=jnp.asarray(prim_order), accel_mode=accel,
-            tri_order=jnp.asarray(tri_order))
+            tri_order=jnp.asarray(tri_order),
+            vtangents=None if vtans is None else jnp.asarray(vtans))
 
         # scene bbox
         allpts = [verts] if len(verts) else []
@@ -994,7 +1062,8 @@ class _Builder:
             volumes=volumes, has_hetero=has_hetero,
             has_null_boundaries=has_null_b,
             sensor_prims=sensor_prims, sensor_prim_distr=sensor_distr,
-            has_surface_sensor=has_surf_sensor)
+            has_surface_sensor=has_surf_sensor,
+            measured=tuple(self.measured_tables))
 
     def _material_table(self):
         rows = self.materials

@@ -203,3 +203,116 @@ def load_ply(path: str):
         uv = (np.stack([arr["u"], arr["v"]], -1) if "u" in arr
               else (np.stack([arr["s"], arr["t"]], -1) if "s" in arr else None))
         return v, np.asarray(faces, np.int32), n, uv
+
+
+def load_serialized(path: str, shape_index: int = 0):
+    """Mitsuba .serialized mesh import (src/shapes/serialized.cpp:198-405).
+
+    Layout: uint16 magic 0x041C, uint16 version (V3=3 / V4=4), then one
+    zlib stream per mesh.  A uint32 mesh count sits at the very end of
+    the file, preceded by the per-mesh start offsets (uint64 in V4,
+    uint32 in V3).  Inside the stream: uint32 flags, (V4) null-terminated
+    name, uint64 vertex/face counts, positions, [normals], [texcoords],
+    [colors, skipped], uint32 face indices.
+    """
+    import zlib
+
+    HAS_NORMALS, HAS_TEXCOORDS, HAS_COLORS = 0x0001, 0x0002, 0x0008
+    FACE_NORMALS, DOUBLE_PREC = 0x0010, 0x2000
+
+    with open(path, "rb") as fh:
+        raw = fh.read()
+    magic, version = np.frombuffer(raw, "<u2", 2, 0)
+    if magic != 0x041C:
+        raise ValueError(f"{path}: not a Mitsuba serialized file")
+    if version not in (3, 4):
+        raise ValueError(f"{path}: unsupported version {version}")
+
+    start = 4
+    if shape_index != 0:
+        count = int(np.frombuffer(raw, "<u4", 1, len(raw) - 4)[0])
+        if shape_index >= count:
+            raise ValueError(f"shape_index {shape_index} out of range "
+                             f"(file holds {count} meshes)")
+        if version == 4:
+            off_pos = len(raw) - 4 - 8 * (count - shape_index)
+            start = int(np.frombuffer(raw, "<u8", 1, off_pos)[0]) + 4
+        else:
+            off_pos = len(raw) - 4 * (count - shape_index + 1)
+            start = int(np.frombuffer(raw, "<u4", 1, off_pos)[0]) + 4
+
+    data = zlib.decompressobj().decompress(raw[start:])
+
+    off = 0
+    flags = int(np.frombuffer(data, "<u4", 1, off)[0]); off += 4
+    if version == 4:                      # skip null-terminated name
+        off = data.index(b"\x00", off) + 1
+    n_vert, n_face = np.frombuffer(data, "<u8", 2, off).astype(np.int64)
+    off += 16
+
+    ftype = np.dtype("<f8") if flags & DOUBLE_PREC else np.dtype("<f4")
+
+    def read(n):
+        nonlocal off
+        out = np.frombuffer(data, ftype, n, off).astype(np.float64)
+        off += n * ftype.itemsize
+        return out
+
+    v = read(n_vert * 3).reshape(-1, 3)
+    vn = None
+    if flags & HAS_NORMALS:
+        nrm = read(n_vert * 3).reshape(-1, 3)
+        if not flags & FACE_NORMALS:
+            vn = nrm
+    uv = read(n_vert * 2).reshape(-1, 2) if flags & HAS_TEXCOORDS else None
+    if flags & HAS_COLORS:
+        read(n_vert * 3)
+    f = np.frombuffer(data, "<u4", n_face * 3, off).astype(
+        np.int32).reshape(-1, 3)
+    return v, f, vn, uv
+
+
+def write_serialized(path: str, meshes, version: int = 4):
+    """Write a V3/V4 .serialized file (inverse of load_serialized; used
+    by tests and export tooling).  ``meshes`` is a list of dicts with
+    keys v, f and optional vn, uv, name."""
+    import zlib
+
+    header = np.asarray([0x041C, version], "<u2").tobytes()
+    blobs, offsets, pos = [], [], 0
+    for msh in meshes:
+        v = np.asarray(msh["v"], np.float32)
+        f = np.asarray(msh["f"], np.uint32)
+        vn = msh.get("vn")
+        uv = msh.get("uv")
+        flags = 0x1000
+        if vn is not None:
+            flags |= 0x0001
+        if uv is not None:
+            flags |= 0x0002
+        parts = [np.uint32(flags).tobytes()]
+        if version == 4:
+            parts.append(msh.get("name", "mesh").encode() + b"\x00")
+        parts.append(np.asarray([len(v), len(f)], "<u8").tobytes())
+        parts.append(v.astype("<f4").tobytes())
+        if vn is not None:
+            parts.append(np.asarray(vn, "<f4").tobytes())
+        if uv is not None:
+            parts.append(np.asarray(uv, "<f4").tobytes())
+        parts.append(f.astype("<u4").tobytes())
+        # every chunk carries its own magic+version header; the first
+        # chunk's header doubles as the file header (serialized.cpp:305)
+        blob = header + zlib.compress(b"".join(parts))
+        offsets.append(pos)
+        blobs.append(blob)
+        pos += len(blob)
+
+    with open(path, "wb") as fh:
+        for blob in blobs:
+            fh.write(blob)
+        if version == 4:
+            fh.write(np.asarray(offsets, "<u8").tobytes())
+        else:
+            fh.write(np.asarray(offsets, "<u4").tobytes())
+        fh.write(np.uint32(len(blobs)).tobytes())
+    return path

@@ -52,6 +52,11 @@ D_PPLASTIC = 13   # pplastic.cpp: rough specular + diffuse, fixed lobe
 D_POLARIZER = 14  # polarizer.cpp: linear polarizer, angle extra[0] deg
 D_RETARDER = 15   # retarder.cpp: linear retarder, retardance extra[1] deg
 D_CIRCULAR = 16   # circular.cpp: circular polarizer, extra[2] = left
+D_MEASURED = 17   # measured.cpp: RGL data-driven BRDF; child_a indexes
+#                   scene.measured (dispatched in bsdf_sample/eval_pdf
+#                   because the tensor tables live on the Scene)
+D_HAIR = 18       # hair.cpp: Chiang et al. 2016 fiber BCSDF; fiber
+#                   tangent = sh_t of the interaction frame
 
 _SMOOTH_TYPES = (D_DIFFUSE, D_ROUGHCONDUCTOR, D_ROUGHDIELECTRIC,
                  D_PLASTIC, D_ROUGHPLASTIC, D_PPLASTIC)
@@ -957,6 +962,213 @@ def _null_eval_pdf(p, wi, wo):
     return jnp.zeros(wi.shape[:-1] + (3,)), jnp.zeros(wi.shape[:-1])
 
 
+# -- hair (src/bsdfs/hair.cpp, 797 LoC; Chiang et al. 2016 fiber model) -----
+#
+# Local frame convention (hair.cpp:566-589): y = fiber tangent, z points
+# away from the fiber in the cross-section plane (the shading normal),
+# so directions must arrive in an si frame whose sh_t is the fiber axis
+# (curve shapes set per-vertex tangents; see loader/curves.py).
+# Parameter packing (set by dict_loader._bsdf_row):
+#   albedo     = sigma_a (absorption, pigmentation pre-mixed)
+#   eta        = IOR
+#   extra[0:3] = longitudinal variances v[0..2] (v[3] == v[2])
+#   extra[3]   = azimuthal logistic scale s
+#   extra[4]   = scale tilt alpha (radians)
+# eval returns the full BCSDF value (it integrates to 1 over the sphere
+# for sigma_a = 0 — no extra cosine factor; hair.cpp white furnace).
+
+_P_MAX = 3
+PI_F = warp.PI
+_EUMELANIN_SIGMA_A = (0.419, 0.697, 1.37)     # d'Eon et al. 2011
+_PHEOMELANIN_SIGMA_A = (0.187, 0.4, 1.05)
+
+
+def _hair_gamma(w):
+    """Angle between the normal (+z) and w in the cross-section plane
+    (hair.cpp:580-589); sin(gamma(wi)) is the fiber offset h."""
+    proj = m.safe_sqrt(w[..., 0] ** 2 + w[..., 2] ** 2)
+    g = jnp.arccos(jnp.clip(m.safe_div(w[..., 2], proj), -1.0, 1.0))
+    g = jnp.where(proj == 0.0, 0.0, g)
+    return jnp.where(w[..., 0] < 0.0, g, -g)
+
+
+def _hair_reframe(st_i, ct_i, alpha, p):
+    """Shift theta_i by the cuticle-scale tilt for lobe p
+    (hair.cpp:598-628 reframe_with_scales)."""
+    s0 = jnp.sin(alpha)
+    c0 = m.safe_sqrt(1.0 - s0 * s0)
+    s1, c1 = 2.0 * c0 * s0, c0 * c0 - s0 * s0
+    s2, c2 = 2.0 * c1 * s1, c1 * c1 - s1 * s1
+    if p == 0:
+        st, ct = st_i * c1 - ct_i * s1, ct_i * c1 + st_i * s1
+    elif p == 1:
+        st, ct = st_i * c0 + ct_i * s0, ct_i * c0 - st_i * s0
+    elif p == 2:
+        st, ct = st_i * c2 + ct_i * s2, ct_i * c2 - st_i * s2
+    else:
+        st, ct = st_i, ct_i
+    return st, jnp.abs(ct)
+
+
+def _hair_attenuation(ct_i, eta, h, transmittance):
+    """Per-lobe attenuation a_p (hair.cpp:631-651), list of 4 (n,3)."""
+    cg_i = m.safe_sqrt(1.0 - h * h)
+    f = fr.fresnel_dielectric(ct_i * cg_i, eta)[0][..., None]
+    a = [f, (1.0 - f) ** 2 * transmittance]
+    for _ in range(2, _P_MAX):
+        a.append(a[-1] * transmittance * f)
+    tf = transmittance * f
+    a.append(a[-1] * tf / jnp.maximum(1.0 - tf, 1e-6))
+    return a
+
+
+def _hair_geometry(p, wi):
+    """Shared incident-side quantities: (h, gamma_i, st_i, ct_i,
+    gamma_t, transmittance, a_p, a_p_pdf)."""
+    from ...core.spectrum import luminance
+    gamma_i = _hair_gamma(wi)
+    h = jnp.sin(gamma_i)
+    st_i = wi[..., 1]
+    ct_i = m.safe_sqrt(1.0 - st_i * st_i)
+    eta = p["eta"]
+    # longitudinal / azimuthal transmission angles
+    st_t = st_i / eta
+    ct_t = m.safe_sqrt(1.0 - st_t * st_t)
+    eta_p = m.safe_div(m.safe_sqrt(eta * eta - st_i * st_i), ct_i)
+    sg_t = m.safe_div(h, eta_p)
+    cg_t = m.safe_sqrt(1.0 - sg_t * sg_t)
+    gamma_t = jnp.arcsin(jnp.clip(sg_t, -1.0, 1.0))
+    sigma_a = p["albedo"]
+    transmittance = jnp.exp(-sigma_a
+                            * (2.0 * cg_t / jnp.maximum(ct_t, 1e-6))[..., None])
+    a_p = _hair_attenuation(ct_i, eta, h, transmittance)
+    lum = [jnp.maximum(luminance(ai), 0.0) for ai in a_p]
+    total = sum(lum)
+    a_p_pdf = [m.safe_div(l, total) for l in lum]
+    return h, gamma_i, st_i, ct_i, gamma_t, a_p, a_p_pdf
+
+
+def _hair_logistic(x, s):
+    e = jnp.exp(-jnp.abs(x) / s)
+    return e / (s * (1.0 + e) ** 2)
+
+
+def _hair_logistic_cdf(x, s):
+    return 1.0 / (1.0 + jnp.exp(-x / s))
+
+
+def _hair_trimmed_logistic_sample(u, s):
+    k = _hair_logistic_cdf(PI_F, s) - _hair_logistic_cdf(-PI_F, s)
+    x = -s * jnp.log(1.0 / jnp.maximum(
+        u * k + _hair_logistic_cdf(-PI_F, s), 1e-12) - 1.0)
+    return jnp.clip(x, -PI_F, PI_F)
+
+
+def _hair_azimuthal(delta_phi, lobe, s, gamma_i, gamma_t):
+    """Trimmed-logistic azimuthal lobe around the perfect specular
+    deflection (hair.cpp:724-746)."""
+    perfect = 2.0 * lobe * gamma_t - 2.0 * gamma_i + lobe * PI_F
+    phi = delta_phi - perfect
+    phi = phi - 2.0 * PI_F * jnp.round(phi / (2.0 * PI_F))
+    k = _hair_logistic_cdf(PI_F, s) - _hair_logistic_cdf(-PI_F, s)
+    return _hair_logistic(phi, s) / k
+
+
+def _hair_longitudinal(wi, wo, v):
+    return warp.square_to_rough_fiber_pdf(
+        wo, wi, jnp.array([0.0, 1.0, 0.0]), 1.0 / jnp.maximum(v, 1e-9))
+
+
+def _hair_eval_pdf(p, wi, wo):
+    """hair.cpp eval_pdf (:439-510): fused BCSDF value + sampling pdf."""
+    h, gamma_i, st_i, ct_i, gamma_t, a_p, a_p_pdf = _hair_geometry(p, wi)
+    phi_i = jnp.arctan2(wi[..., 2], wi[..., 0])
+    phi_o = jnp.arctan2(wo[..., 2], wo[..., 0])
+    sp_i, cp_i = jnp.sin(phi_i), jnp.cos(phi_i)
+    v = [p["extra"][..., 0], p["extra"][..., 1], p["extra"][..., 2],
+         p["extra"][..., 2]]
+    s = p["extra"][..., 3]
+    alpha = p["extra"][..., 4]
+    delta_phi = phi_o - phi_i
+
+    pdf = jnp.zeros(wi.shape[:-1])
+    value = jnp.zeros(wi.shape[:-1] + (3,))
+    for lobe in range(_P_MAX):
+        st_ip, ct_ip = _hair_reframe(st_i, ct_i, alpha, lobe)
+        wi_p = jnp.stack([ct_ip * cp_i, st_ip, ct_ip * sp_i], -1)
+        lon = _hair_longitudinal(wi_p, wo, v[lobe])
+        az = _hair_azimuthal(delta_phi, lobe, s, gamma_i, gamma_t)
+        pdf = pdf + lon * (2.0 * PI_F) * a_p_pdf[lobe] * az
+        value = value + (lon * (2.0 * PI_F) * az)[..., None] * a_p[lobe]
+    lon = _hair_longitudinal(wi, wo, v[_P_MAX])
+    pdf = pdf + lon * a_p_pdf[_P_MAX]
+    value = value + lon[..., None] * a_p[_P_MAX]
+
+    bad = ~jnp.isfinite(pdf)
+    pdf = jnp.where(bad, 0.0, pdf)
+    value = jnp.where(bad[..., None] | ~jnp.isfinite(value), 0.0, value)
+    return value, pdf
+
+
+def _hair_sample(p, wi, u1, u2):
+    """hair.cpp sample (:227-331): pick lobe by attenuation luminance,
+    sample the longitudinal cone + azimuthal trimmed logistic."""
+    h, gamma_i, st_i, ct_i, gamma_t, a_p, a_p_pdf = _hair_geometry(p, wi)
+    phi_i = jnp.arctan2(wi[..., 2], wi[..., 0])
+    v_tab = [p["extra"][..., 0], p["extra"][..., 1], p["extra"][..., 2],
+             p["extra"][..., 2]]
+    s = p["extra"][..., 3]
+    alpha = p["extra"][..., 4]
+
+    # lobe selection cascade on u1 with rescaled remainder (hair.cpp:248-259)
+    u00 = u1
+    u01 = u1 / jnp.maximum(a_p_pdf[0], 1e-12)
+    lobe = jnp.zeros(u1.shape, jnp.int32)
+    for i in range(_P_MAX):
+        pick = a_p_pdf[i] < u00
+        u00 = u00 - a_p_pdf[i]   # unconditional (hair.cpp:253-258):
+        #   settled lanes go negative so every later pick stays false
+        lobe = jnp.where(pick, i + 1, lobe)
+        u01 = jnp.where(pick, u00 / jnp.maximum(a_p_pdf[i + 1], 1e-12), u01)
+    u01 = jnp.clip(u01, 0.0, 1.0 - 1e-7)
+
+    # tilt-shifted incident angle for the selected lobe
+    st_ip, ct_ip = st_i, ct_i
+    for j in range(_P_MAX):
+        st_j, ct_j = _hair_reframe(st_i, ct_i, alpha, j)
+        st_ip = jnp.where(lobe == j, st_j, st_ip)
+        ct_ip = jnp.where(lobe == j, ct_j, ct_ip)
+
+    # longitudinal cone sample (vMF; hair.cpp:271-283)
+    v_sel = v_tab[_P_MAX]
+    for i in range(_P_MAX):
+        v_sel = jnp.where(lobe == i, v_tab[i], v_sel)
+    u10 = jnp.maximum(u2[..., 0], 1e-7)
+    cos_theta = 1.0 + v_sel * jnp.log(
+        u10 + (1.0 - u10) * jnp.exp(-2.0 / jnp.maximum(v_sel, 1e-9)))
+    sin_theta = m.safe_sqrt(1.0 - cos_theta ** 2)
+    cos_phi = jnp.cos(2.0 * PI_F * u2[..., 1])
+    st_o = -cos_theta * st_ip + sin_theta * cos_phi * ct_ip
+    ct_o = m.safe_sqrt(1.0 - st_o ** 2)
+
+    # azimuthal deflection (hair.cpp:290-298)
+    perfect = (2.0 * lobe.astype(jnp.float32) * gamma_t - 2.0 * gamma_i
+               + lobe.astype(jnp.float32) * PI_F)
+    dphi_spec = perfect + _hair_trimmed_logistic_sample(u01, s)
+    dphi = jnp.where(lobe < _P_MAX, dphi_spec, 2.0 * PI_F * u01)
+
+    phi_o = phi_i + dphi
+    wo = jnp.stack([ct_o * jnp.cos(phi_o), st_o, ct_o * jnp.sin(phi_o)], -1)
+    wo = m.normalize(wo)
+
+    f, pdf = _hair_eval_pdf(p, wi, wo)
+    ok = pdf > 0.0
+    weight = jnp.where(ok[..., None], m.safe_div(f, pdf[..., None]), 0.0)
+    one = jnp.ones(u1.shape)
+    return wo, jnp.where(ok, pdf, 0.0), weight, one, \
+        jnp.zeros_like(ok), wo[..., 2] * wi[..., 2] < 0.0
+
+
 _SAMPLERS = {
     D_PRINCIPLED: _principled_sample,
     D_PRINCIPLEDTHIN: _principledthin_sample,
@@ -970,6 +1182,7 @@ _SAMPLERS = {
     D_THINDIELECTRIC: _thindielectric_sample,
     D_PPLASTIC: _pplastic_sample,
     D_NULL: _null_sample,
+    D_HAIR: _hair_sample,
     D_POLARIZER: _polarizer_sample,
     D_RETARDER: _retarder_sample,
     D_CIRCULAR: _circular_sample,
@@ -987,6 +1200,7 @@ _EVALS = {
     D_THINDIELECTRIC: _thindielectric_eval_pdf,
     D_PPLASTIC: _pplastic_eval_pdf,
     D_NULL: _null_eval_pdf,
+    D_HAIR: _hair_eval_pdf,
     D_POLARIZER: _null_eval_pdf,
     D_RETARDER: _null_eval_pdf,
     D_CIRCULAR: _null_eval_pdf,
@@ -1055,6 +1269,29 @@ def bsdf_sample(scene, si, u1, u2):
         if t in (D_BLEND, D_MASK):
             continue   # resolved to children above
         mask = p["mtype"] == t
+        if t == D_MEASURED:
+            # per-table dispatch (tables differ in shape -> static loop)
+            from .measured import measured_sample
+            i_meas = scene.materials.child_a[
+                jnp.maximum(si.material_index, 0)]
+            wi_t, fz = _flip(p, wi)
+            for k, mb in enumerate(scene.measured):
+                mk = mask & (i_meas == k)
+                bs_m = measured_sample(mb, wi_t, u2)
+                wo = bs_m.wo * jnp.stack(
+                    [jnp.ones_like(fz), jnp.ones_like(fz), fz], -1)
+                out = out.replace(
+                    wo=jnp.where(mk[..., None], wo, out.wo),
+                    pdf=jnp.where(mk, bs_m.pdf, out.pdf),
+                    eta=jnp.where(mk, bs_m.eta, out.eta),
+                    sampled_delta=jnp.where(mk, bs_m.sampled_delta,
+                                            out.sampled_delta),
+                    sampled_transmission=jnp.where(
+                        mk, bs_m.sampled_transmission,
+                        out.sampled_transmission),
+                    weight=jnp.where(mk[..., None], bs_m.weight,
+                                     out.weight))
+            continue
         if t in _FLIPPABLE:
             wi_t, fz = _flip(p, wi)
         else:
@@ -1083,6 +1320,17 @@ def _eval_pdf_inner(scene, si, wo):
         if t in (D_BLEND, D_MASK):
             continue
         mask = p["mtype"] == t
+        if t == D_MEASURED:
+            from .measured import measured_eval_pdf
+            i_meas = scene.materials.child_a[
+                jnp.maximum(si.material_index, 0)]
+            wi_t, wo_t, _ = _flip(p, wi, wo)
+            for k, mb in enumerate(scene.measured):
+                mk = mask & (i_meas == k)
+                f, pdf = measured_eval_pdf(mb, wi_t, wo_t)
+                f_out = jnp.where(mk[..., None], f, f_out)
+                pdf_out = jnp.where(mk, pdf, pdf_out)
+            continue
         if t in _FLIPPABLE:
             wi_t, wo_t, _ = _flip(p, wi, wo)
         else:

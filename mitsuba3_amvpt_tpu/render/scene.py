@@ -60,6 +60,11 @@ class GeometryArrays:
     # spatially-coherent triangle permutation for the tiled-cull Pallas
     # tracer (ops/isect.py ray_triangles_tiled); identity if unused
     tri_order: jnp.ndarray = None  # (F,) int32
+    # per-vertex fiber tangents for curve shapes (loader/curves.py);
+    # None unless the scene holds curves.  Non-zero tangent => the SI
+    # frame aligns sh_t with the fiber axis (hair BSDF convention,
+    # src/bsdfs/hair.cpp:566-589)
+    vtangents: jnp.ndarray = None  # (V, 3) or None
 
     @property
     def tri_p0(self):
@@ -137,6 +142,10 @@ class Scene:
     sensor_prim_distr: Any = None         # DiscreteDistribution over areas
     has_surface_sensor: bool = struct.field(pytree_node=False,
                                             default=False)
+    # measured BSDFs (bsdfs/measured.py): one MeasuredBSDF pytree per
+    # distinct .bsdf file; material rows of type D_MEASURED index into
+    # this tuple via child_a
+    measured: tuple = ()
 
     # ---------------- ray queries ----------------
 
@@ -186,8 +195,9 @@ class Scene:
                 g.tri_shape[:, None].astype(f32),                   # 26
                 self.shape_material[sshp][:, None].astype(f32),     # 27
                 self.shape_emitter[sshp][:, None].astype(f32),      # 28
-            ], axis=1)
-            a = A[tri]                                       # (n, 29)
+            ] + ([g.vtangents[f0], g.vtangents[f1], g.vtangents[f2]]
+                 if g.vtangents is not None else []), axis=1)  # 29:38
+            a = A[tri]                                       # (n, 29|38)
             p0, p1, p2 = a[:, 0:3], a[:, 3:6], a[:, 6:9]
             t_d, u_d, v_d, _ = traverse.ray_triangle(ray.o, ray.d, p0, p1, p2, eps=1.0)
             t_tri = m.replace_grad(pi.t, t_d)
@@ -208,6 +218,12 @@ class Scene:
             uv_surf_tri = jnp.where((a[:, 25] > 0.5)[..., None], tuv, uv_tri)
             mat_tri = a[:, 27].astype(jnp.int32)
             emi_tri = a[:, 28].astype(jnp.int32)
+            if g.vtangents is not None:
+                tg_tri = (b0[..., None] * a[:, 29:32]
+                          + uv_tri[..., 0:1] * a[:, 32:35]
+                          + uv_tri[..., 1:2] * a[:, 35:38])
+            else:
+                tg_tri = None
         else:
             t_tri = pi.t
             p_tri = jnp.zeros((n, 3))
@@ -216,6 +232,7 @@ class Scene:
             uv_surf_tri = pi.prim_uv
             mat_tri = jnp.zeros((n,), jnp.int32)
             emi_tri = jnp.full((n,), -1, jnp.int32)
+            tg_tri = None
 
         # ---- spheres (same single-gather pack)
         S = g.sph_center.shape[0]
@@ -257,6 +274,15 @@ class Scene:
         # orient the geometric normal to the shading normal's hemisphere
         ng = m.mulsign(ng, m.dot(ng, ns)[..., None])
         s, tb = m.coordinate_system(ns)
+        if tg_tri is not None:
+            # fiber tangent frame: sh_t = tangent projected ⊥ ns,
+            # sh_s = sh_t × ns (right-handed s×t=n); only on lanes whose
+            # interpolated tangent is meaningful
+            has_tg = is_tri & (m.dot(tg_tri, tg_tri) > 0.25)
+            t_ax = m.normalize(tg_tri - m.dot(tg_tri, ns)[..., None] * ns)
+            s_ax = m.normalize(jnp.cross(t_ax, ns))
+            s = jnp.where(has_tg[..., None], s_ax, s)
+            tb = jnp.where(has_tg[..., None], t_ax, tb)
         wi_world = -ray.d
         wi = m.frame_to_local(ns, s, tb, wi_world)
 
