@@ -47,7 +47,7 @@ CONDUCTORS = {
 
 _SHAPE_TYPES = ("rectangle", "cube", "disk", "cylinder", "sphere", "obj",
                 "ply", "serialized", "trimesh", "instance", "merge",
-                "shapegroup", "linearcurve", "bsplinecurve")
+                "shapegroup", "linearcurve", "bsplinecurve", "sdfgrid")
 
 _BSDF_TYPE = {
     "diffuse": bsdf_reg.D_DIFFUSE,
@@ -67,6 +67,7 @@ _BSDF_TYPE = {
     "circular": bsdf_reg.D_CIRCULAR,
     "measured": bsdf_reg.D_MEASURED,
     "hair": bsdf_reg.D_HAIR,
+    "measured_polarized": bsdf_reg.D_MEASURED_POL,
 }
 
 
@@ -188,6 +189,9 @@ class _Builder:
         self.sensor_shape = -1   # shape id carrying an irradiancemeter
         self.measured_tables = []   # MeasuredBSDF pytrees (bsdf type 17)
         self.measured_cache = {}    # filename -> index
+        self.measured_pol_tables = []  # MeasuredPolarizedBSDF (type 19)
+        self.measured_pol_cache = {}
+        self.sdf_specs = []         # sdfgrid shape specs (render/sdf.py)
         self.distant_spec = None  # deferred distant sensor (needs bbox)
 
     # ---------------- textures ----------------
@@ -306,6 +310,23 @@ class _Builder:
             albedo = _spectrum3(spec.get("transmittance", 1.0))
 
         meas_idx = -1
+        if t == "measured_polarized":
+            # RGL pBSDF Mueller tensor (measured_polarized.cpp); in the
+            # scalar RGB pipeline a fixed `wavelength` may override the
+            # per-channel (620/550/465 nm) reads
+            fname = spec["filename"]
+            key = (fname, float(spec.get("alpha_sample", 0.1)),
+                   float(spec.get("wavelength", -1.0)))
+            meas_idx = self.measured_pol_cache.get(key, -1)
+            if meas_idx < 0:
+                from ..render.bsdfs.measured_polarized import \
+                    MeasuredPolarizedBSDF
+                self.measured_pol_tables.append(
+                    MeasuredPolarizedBSDF.from_file(
+                        fname, alpha_sample=key[1], wavelength=key[2]))
+                meas_idx = len(self.measured_pol_tables) - 1
+                self.measured_pol_cache[key] = meas_idx
+            alpha = np.array([key[1], key[1]])   # eval_roughness parity
         if t == "measured":
             # RGL tensor file; table stored on the scene, row points at
             # it via child_a (measured.cpp plugin)
@@ -654,6 +675,25 @@ class _Builder:
         else:
             self.shape_em.append(-1)
 
+        if t == "sdfgrid":
+            # SDF grid shape (src/shapes/sdfgrid.cpp): samples from an
+            # inline array or a Mitsuba .vol file; no area sampling ->
+            # emitter attachment unsupported (parity with the reference,
+            # which implements no sample_position)
+            if em_spec is not None:
+                raise ValueError("sdfgrid cannot carry an area emitter")
+            if "grid" in spec:
+                data = np.asarray(spec["grid"], np.float32)
+            else:
+                from ..render.volume import read_vol
+                data = read_vol(spec["filename"])
+                if data.ndim == 4:
+                    data = data[..., 0]
+            self.sdf_specs.append(
+                dict(data=data, to_world=tw, shape_index=shape_id,
+                     normal_mode=spec.get("normals", "smooth")))
+            return
+
         if t == "sphere":
             c = np.asarray(spec.get("center", [0, 0, 0]), np.float64)
             r = float(spec.get("radius", 1.0))
@@ -928,10 +968,22 @@ class _Builder:
             tri_order=jnp.asarray(tri_order),
             vtangents=None if vtans is None else jnp.asarray(vtans))
 
+        # SDF grid shapes (render/sdf.py)
+        sdfs = []
+        if self.sdf_specs:
+            from ..render.sdf import build_sdf
+            sdfs = [build_sdf(s["data"], s["to_world"], s["shape_index"],
+                              s["normal_mode"]) for s in self.sdf_specs]
+
         # scene bbox
         allpts = [verts] if len(verts) else []
         if S:
             allpts += [sphc - sphr[:, None], sphc + sphr[:, None]]
+        for s in self.sdf_specs:
+            tw_s = np.asarray(s["to_world"], np.float64)
+            corners = np.stack(np.meshgrid([0.0, 1], [0.0, 1], [0.0, 1],
+                                           indexing="ij"), -1).reshape(-1, 3)
+            allpts.append((tw_s[:3, :3] @ corners.T).T + tw_s[:3, 3])
         pts = np.concatenate(allpts, 0) if allpts else np.zeros((1, 3))
         bbox_lo, bbox_hi = pts.min(0), pts.max(0)
 
@@ -1063,7 +1115,9 @@ class _Builder:
             has_null_boundaries=has_null_b,
             sensor_prims=sensor_prims, sensor_prim_distr=sensor_distr,
             has_surface_sensor=has_surf_sensor,
-            measured=tuple(self.measured_tables))
+            measured=tuple(self.measured_tables),
+            measured_pol=tuple(self.measured_pol_tables),
+            sdfs=tuple(sdfs))
 
     def _material_table(self):
         rows = self.materials

@@ -57,6 +57,9 @@ D_MEASURED = 17   # measured.cpp: RGL data-driven BRDF; child_a indexes
 #                   because the tensor tables live on the Scene)
 D_HAIR = 18       # hair.cpp: Chiang et al. 2016 fiber BCSDF; fiber
 #                   tangent = sh_t of the interaction frame
+D_MEASURED_POL = 19  # measured_polarized.cpp: RGL pBSDF Mueller tensor;
+#                   child_a indexes scene.measured_pol (scalar path uses
+#                   M00; full Mueller via stokes integrator)
 
 _SMOOTH_TYPES = (D_DIFFUSE, D_ROUGHCONDUCTOR, D_ROUGHDIELECTRIC,
                  D_PLASTIC, D_ROUGHPLASTIC, D_PPLASTIC)
@@ -1269,6 +1272,28 @@ def bsdf_sample(scene, si, u1, u2):
         if t in (D_BLEND, D_MASK):
             continue   # resolved to children above
         mask = p["mtype"] == t
+        if t == D_MEASURED_POL:
+            from .measured_polarized import mp_sample
+            i_meas = scene.materials.child_a[
+                jnp.maximum(si.material_index, 0)]
+            wi_t, fz = _flip(p, wi)
+            for k, mb in enumerate(scene.measured_pol):
+                mk = mask & (i_meas == k)
+                bs_m = mp_sample(mb, wi_t, u1, u2)
+                wo = bs_m.wo * jnp.stack(
+                    [jnp.ones_like(fz), jnp.ones_like(fz), fz], -1)
+                out = out.replace(
+                    wo=jnp.where(mk[..., None], wo, out.wo),
+                    pdf=jnp.where(mk, bs_m.pdf, out.pdf),
+                    eta=jnp.where(mk, bs_m.eta, out.eta),
+                    sampled_delta=jnp.where(mk, bs_m.sampled_delta,
+                                            out.sampled_delta),
+                    sampled_transmission=jnp.where(
+                        mk, bs_m.sampled_transmission,
+                        out.sampled_transmission),
+                    weight=jnp.where(mk[..., None], bs_m.weight,
+                                     out.weight))
+            continue
         if t == D_MEASURED:
             # per-table dispatch (tables differ in shape -> static loop)
             from .measured import measured_sample
@@ -1328,6 +1353,17 @@ def _eval_pdf_inner(scene, si, wo):
             for k, mb in enumerate(scene.measured):
                 mk = mask & (i_meas == k)
                 f, pdf = measured_eval_pdf(mb, wi_t, wo_t)
+                f_out = jnp.where(mk[..., None], f, f_out)
+                pdf_out = jnp.where(mk, pdf, pdf_out)
+            continue
+        if t == D_MEASURED_POL:
+            from .measured_polarized import mp_eval_pdf
+            i_meas = scene.materials.child_a[
+                jnp.maximum(si.material_index, 0)]
+            wi_t, wo_t, _ = _flip(p, wi, wo)
+            for k, mb in enumerate(scene.measured_pol):
+                mk = mask & (i_meas == k)
+                f, pdf = mp_eval_pdf(mb, wi_t, wo_t)
                 f_out = jnp.where(mk[..., None], f, f_out)
                 pdf_out = jnp.where(mk, pdf, pdf_out)
             continue

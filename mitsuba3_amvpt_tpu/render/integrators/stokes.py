@@ -39,8 +39,9 @@ from ...core import mueller as mu
 from ...core.rng import Sampler
 from ..bsdfs import bsdf_eval_pdf, bsdf_flags_delta, bsdf_sample
 from ..bsdfs.registry import (D_CIRCULAR, D_CONDUCTOR, D_DIELECTRIC,
-                              D_POLARIZER, D_RETARDER, D_ROUGHCONDUCTOR,
-                              D_ROUGHDIELECTRIC, _gather_params)
+                              D_MEASURED_POL, D_POLARIZER, D_RETARDER,
+                              D_ROUGHCONDUCTOR, D_ROUGHDIELECTRIC,
+                              _gather_params)
 from ..records import Ray
 from .api import register_integrator
 from .path import mis_weight
@@ -165,6 +166,18 @@ def _bounce_mueller(scene, si, wo_local, d_prev, trans_mask):
     n = wo_local.shape[0]
 
     M_spec, is_spec = _specular_mueller(p, t, si.wi, wo_local, trans_mask)
+
+    # measured pBSDF Mueller tables (bsdfs/measured_polarized.py) share
+    # the specular matrices' local implicit bases
+    if scene.measured_pol:
+        from ..bsdfs.measured_polarized import mp_mueller
+        i_mp = scene.materials.child_a[i]
+        for k, mb in enumerate(scene.measured_pol):
+            mk = (t == D_MEASURED_POL) & (i_mp == k)
+            M_k = mp_mueller(mb, si.wi, wo_local)
+            M_spec = jnp.where(mk[..., None, None, None], M_k, M_spec)
+        is_spec = is_spec | (t == D_MEASURED_POL)
+
     # local->world implicit-basis conversion for the specular matrices
     in_w = si.to_world(-wo_local)
     out_w = si.to_world(si.wi)

@@ -146,14 +146,44 @@ class Scene:
     # distinct .bsdf file; material rows of type D_MEASURED index into
     # this tuple via child_a
     measured: tuple = ()
+    # measured polarized pBSDFs (bsdfs/measured_polarized.py); material
+    # rows of type D_MEASURED_POL index into this tuple via child_a
+    measured_pol: tuple = ()
+    # SDF grid shapes (render/sdf.py, src/shapes/sdfgrid.cpp): prim id
+    # F + S + k belongs to scene.sdfs[k]
+    sdfs: tuple = ()
 
     # ---------------- ray queries ----------------
 
     def ray_intersect_preliminary(self, ray: Ray) -> PreliminaryIntersection:
-        return traverse.ray_intersect_prelim(self.geom, ray)
+        pi = traverse.ray_intersect_prelim(self.geom, ray)
+        if not self.sdfs:
+            return pi
+        from . import sdf as _sdf
+        n_ps = self.geom.n_prims
+        t = pi.t
+        prim = pi.prim_index
+        shape = pi.shape_index
+        uv = pi.prim_uv
+        for k, g in enumerate(self.sdfs):
+            t_s, hit = _sdf.sdf_intersect(g, ray.o, ray.d,
+                                          jnp.minimum(t, ray.maxt))
+            closer = hit & (t_s < t)
+            t = jnp.where(closer, t_s, t)
+            prim = jnp.where(closer, n_ps + k, prim)
+            shape = jnp.where(closer, g.shape_index, shape)
+            uv = jnp.where(closer[..., None], 0.0, uv)
+        return PreliminaryIntersection(t=t, prim_uv=uv, prim_index=prim,
+                                       shape_index=shape)
 
     def ray_test(self, ray: Ray):
-        return traverse.ray_test(self.geom, ray)
+        occ = traverse.ray_test(self.geom, ray)
+        if self.sdfs:
+            from . import sdf as _sdf
+            for g in self.sdfs:
+                _, hit = _sdf.sdf_intersect(g, ray.o, ray.d, ray.maxt)
+                occ = occ | hit
+        return occ
 
     def ray_intersect(self, ray: Ray) -> SurfaceInteraction:
         return self.compute_surface_interaction(ray, self.ray_intersect_preliminary(ray))
@@ -271,6 +301,51 @@ class Scene:
         ns = jnp.where(is_tri[..., None], ns_tri, n_sph)
         uv = jnp.where(is_tri[..., None], uv_surf_tri, uv_sph)
 
+        # ---- SDF grids (render/sdf.py; sdfgrid.cpp:337-456)
+        mat_sdf = jnp.zeros((n,), jnp.int32)
+        emi_sdf = jnp.full((n,), -1, jnp.int32)
+        is_sdf = jnp.zeros((n,), bool)
+        if self.sdfs:
+            from . import sdf as _sdf
+            n_ps = g.n_prims
+            sg = jax.lax.stop_gradient
+            for k, gs in enumerate(self.sdfs):
+                mk = valid & (prim == n_ps + k)
+                is_sdf = is_sdf | mk
+                # detached local hit + tangent-plane reattachment:
+                # t_diff = s(p_l) / dot(n, -d_l) grafts grid gradients
+                # onto t (sdfgrid.cpp:390-420)
+                # sanitize dead lanes (t = inf) so no NaN leaks through
+                # the jnp.where merges into gradients
+                t_safe = jnp.where(mk, pi.t, 0.0)
+                p_det = sg(ray.o + ray.d * t_safe[..., None])
+                p_l = jnp.clip(m.transform_point(gs.to_object, p_det),
+                               0.0, 1.0)
+                d_l = sg(m.transform_vector(gs.to_object, ray.d))
+                n_l = m.normalize(_sdf.sdf_grad(gs, p_l))
+                n_w = m.normalize(m.transform_normal(gs.to_object, n_l))
+                sval = _sdf.sdf_value(gs, p_l)
+                denom = m.dot(sg(n_l), -d_l)
+                t_diff = sval / jnp.where(jnp.abs(denom) < 1e-9,
+                                          jnp.where(denom >= 0, 1e-9, -1e-9),
+                                          denom)
+                t_k = m.replace_grad(pi.t, jnp.where(mk, t_diff, 0.0))
+                p_k = ray.o + ray.d * jnp.where(mk, t_k, 0.0)[..., None]
+                if gs.normal_mode == "smooth":
+                    ns_k = m.normalize(m.transform_normal(
+                        gs.to_object, _sdf.sdf_smooth_normal(gs, p_l)))
+                else:
+                    ns_k = n_w
+                t = jnp.where(mk, t_k, t)
+                p = jnp.where(mk[..., None], p_k, p)
+                ng = jnp.where(mk[..., None], n_w, ng)
+                ns = jnp.where(mk[..., None], ns_k, ns)
+                uv = jnp.where(mk[..., None], 0.0, uv)
+                mat_sdf = jnp.where(mk, self.shape_material[gs.shape_index],
+                                    mat_sdf)
+                emi_sdf = jnp.where(mk, self.shape_emitter[gs.shape_index],
+                                    emi_sdf)
+
         # orient the geometric normal to the shading normal's hemisphere
         ng = m.mulsign(ng, m.dot(ng, ns)[..., None])
         s, tb = m.coordinate_system(ns)
@@ -287,8 +362,12 @@ class Scene:
         wi = m.frame_to_local(ns, s, tb, wi_world)
 
         shape_idx = jnp.where(valid, pi.shape_index, -1)
-        mat = jnp.where(valid, jnp.where(is_tri, mat_tri, mat_sph), -1)
-        emi = jnp.where(valid, jnp.where(is_tri, emi_tri, emi_sph), -1)
+        mat = jnp.where(valid, jnp.where(is_tri, mat_tri,
+                                         jnp.where(is_sdf, mat_sdf,
+                                                   mat_sph)), -1)
+        emi = jnp.where(valid, jnp.where(is_tri, emi_tri,
+                                         jnp.where(is_sdf, emi_sdf,
+                                                   emi_sph)), -1)
 
         return SurfaceInteraction(
             t=jnp.where(valid, t, jnp.inf),

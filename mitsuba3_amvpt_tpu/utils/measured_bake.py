@@ -146,3 +146,44 @@ def bake_ggx_conductor(path: str, alpha: float = 0.3,
                                      dtype=np.uint8),
     })
     return path
+
+
+def bake_constant_pbsdf(path, m00=(0.2, 0.25, 0.3), dop=0.0,
+                        res=(8, 8, 8), wvls=(400, 465, 550, 620, 700)):
+    """Synthetic RGL .pbsdf tensor (measured_polarized.cpp layout:
+    M[phi_d, theta_d, theta_h, wvls, 4, 4]) for tests.
+
+    M00 is constant per wavelength band (piecewise-linear across the
+    5 bands through the RGB anchor values at 620/550/465 nm); ``dop``
+    adds a horizontal-linear-polarizer component of that degree in the
+    reflection-plane basis.
+    """
+    import numpy as np
+
+    from ..loader.tensor_file import write_tensor_file
+
+    P, T, H = res
+    wvls = np.asarray(wvls, np.float64)
+    # map wavelength -> rgb anchor interpolation
+    anchors_wl = np.array([465.0, 550.0, 620.0])
+    anchors_v = np.array([m00[2], m00[1], m00[0]])
+    m00_wl = np.interp(wvls, anchors_wl, anchors_v)
+
+    M = np.zeros((P, T, H, len(wvls), 4, 4), np.float32)
+    for iw, v in enumerate(m00_wl):
+        M[..., iw, 0, 0] = v
+        M[..., iw, 0, 1] = v * dop
+        M[..., iw, 1, 0] = v * dop
+        M[..., iw, 1, 1] = v * dop
+    write_tensor_file(path, {
+        "phi_d": np.linspace(-np.pi, np.pi, P,
+                             dtype=np.float32).reshape(1, -1),
+        "theta_d": np.linspace(0, np.pi / 2, T,
+                               dtype=np.float32).reshape(1, -1),
+        "theta_h": np.linspace(0, np.pi / 2, H,
+                               dtype=np.float32).reshape(1, -1),
+        "wvls": wvls.astype(np.uint16),
+        "M": M,
+        "description": np.frombuffer(b"constant pbsdf", dtype=np.uint8),
+    })
+    return path
