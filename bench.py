@@ -25,8 +25,8 @@ def main():
     import jax
     import jax.numpy as jnp
     import mitsuba3_amvpt_tpu as mt
-    from mitsuba3_amvpt_tpu.render.film import film_prepare, film_develop
-    from mitsuba3_amvpt_tpu.render.integrators.api import render_pass
+    from mitsuba3_amvpt_tpu.render.film import film_prepare
+    from mitsuba3_amvpt_tpu.render.integrators.api import render_passes
     from mitsuba3_amvpt_tpu.utils import scenes
 
     W = H = 256
@@ -35,18 +35,19 @@ def main():
     scene = mt.load_dict(scenes.cornell_box(res=W))
 
     spp_pass = 16
-    acc = film_prepare(scene.film)
-    # warmup / compile
-    acc = render_pass(scene, acc, jnp.uint32(0), spp_pass, "path", DEPTH, 5)
-    jax.block_until_ready(acc)
-
     n_passes = SPP // spp_pass
-    acc = film_prepare(scene.film)
+
+    def frame(seed):
+        # all passes + develop fused into one XLA dispatch
+        acc = film_prepare(scene.film)
+        return render_passes(scene, acc, jnp.uint32(seed), n_passes,
+                             spp_pass, "path", DEPTH, 5)
+
+    # warmup / compile
+    jax.block_until_ready(frame(0))
+
     t0 = time.perf_counter()
-    for i in range(n_passes):
-        acc = render_pass(scene, acc, jnp.uint32(1 + i), spp_pass, "path",
-                          DEPTH, 5)
-    img = film_develop(acc)
+    img = frame(1)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
 

@@ -97,7 +97,10 @@ def intersect_brute(geom, o, d, maxt, tile: int = 128):
                   and 0 < F and F * 36 <= (8 << 20))
     if use_pallas and F <= 64:
         # tiny scenes: triangles on sublanes (pad to 8, not 128) — a
-        # 36-tri Cornell tests 40 rows instead of 128 lanes (~3x fewer)
+        # 36-tri Cornell tests 40 rows instead of 128 lanes (~3x fewer).
+        # (An MXU Plücker-matmul variant was tried and measured 13.7 ms
+        # vs 1.0 ms/query: K=16 contractions starve the systolic array
+        # and f32 needs Precision.HIGHEST; the VPU row sweep wins.)
         from ..ops.isect import pack_tri_rows, ray_triangles_pallas_rows
         rows = pack_tri_rows(tri_p0, tri_p1, tri_p2)
         t, u, v, pid = ray_triangles_pallas_rows(

@@ -706,11 +706,16 @@ class _Builder:
 
         vt = None   # per-vertex fiber tangents (curve shapes only)
         if t == "rectangle":
-            v, f, vn, uv = meshes.rectangle()
+            # flat prims: vertex normals equal the geometric normal, so
+            # storing them only widens the SI gather — drop them
+            v, f, _, uv = meshes.rectangle()
+            vn = None
         elif t == "cube":
-            v, f, vn, uv = meshes.cube()
+            v, f, _, uv = meshes.cube()
+            vn = None
         elif t == "disk":
-            v, f, vn, uv = meshes.disk()
+            v, f, _, uv = meshes.disk()
+            vn = None
         elif t == "cylinder":
             v, f, vn, uv = meshes.cylinder()
         elif t == "obj":
@@ -966,7 +971,9 @@ class _Builder:
             bvh_bbox=jnp.asarray(bvh_bbox), bvh_meta=jnp.asarray(bvh_meta),
             bvh_prim_ids=jnp.asarray(prim_order), accel_mode=accel,
             tri_order=jnp.asarray(tri_order),
-            vtangents=None if vtans is None else jnp.asarray(vtans))
+            vtangents=None if vtans is None else jnp.asarray(vtans),
+            any_vn=bool(np.asarray(hasvn).any()),
+            any_uv=bool(np.asarray(hasuv).any()))
 
         # SDF grid shapes (render/sdf.py)
         sdfs = []

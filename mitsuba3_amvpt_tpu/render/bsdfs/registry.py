@@ -130,53 +130,93 @@ def apply_shading_maps(scene, si):
                       wi=m.frame_to_local(n_world, s, t, wi_world))
 
 
+# column-group users for the packed-gather pruning in _gather_params:
+# a group is gathered only when a type that reads it is present
+_SPEC_USERS = frozenset((D_CONDUCTOR, D_ROUGHCONDUCTOR, D_DIELECTRIC,
+                         D_ROUGHDIELECTRIC, D_THINDIELECTRIC, D_PLASTIC,
+                         D_ROUGHPLASTIC, D_PPLASTIC, D_PRINCIPLED,
+                         D_PRINCIPLEDTHIN, D_HAIR, D_MEASURED_POL))
+_PLASTIC_USERS = frozenset((D_PLASTIC, D_ROUGHPLASTIC, D_PPLASTIC))
+_EXTRA_USERS = frozenset((D_PRINCIPLED, D_PRINCIPLEDTHIN, D_HAIR,
+                          D_POLARIZER, D_RETARDER, D_CIRCULAR))
+
+
 def _gather_params(scene, si):
     """Resolve per-lane material parameters (textures applied).
 
-    All float columns of the MaterialTable are packed into one (M, 34)
-    matrix so the per-lane lookup is a single gather — TPU gather cost
-    is per row, not per byte, so one wide gather beats ~14 narrow ones."""
+    The needed float columns of the MaterialTable are packed into ONE
+    (M, C) matrix so the per-lane lookup is a single gather — TPU
+    gather cost is per row, so one wide gather beats ~14 narrow ones.
+    Column groups a scene's material types never read are excluded
+    STATICALLY (types_present is a static pytree field) and surface as
+    broadcast zeros: a diffuse-only scene gathers 9 columns, not 34 —
+    the gather row width is the hot-loop's main HBM term."""
     mt = scene.materials
+    tp = set(mt.types_present)
     i = jnp.maximum(si.material_index, 0)
     f32 = jnp.float32
-    A = jnp.concatenate([
-        mt.albedo,                              # 0:3
-        mt.alpha,                               # 3:5
-        mt.eta_c,                               # 5:8
-        mt.k_c,                                 # 8:11
-        mt.eta[:, None],                        # 11
-        mt.spec_refl,                           # 12:15
-        mt.spec_trans,                          # 15:18
-        mt.fdr_int[:, None],                    # 18
-        mt.spec_weight[:, None],                # 19
-        mt.extra,                               # 20:30
-        mt.mtype[:, None].astype(f32),          # 30
-        mt.albedo_tex[:, None].astype(f32),     # 31
-        mt.alpha_tex[:, None].astype(f32),      # 32
-        mt.twosided[:, None].astype(f32),       # 33
-    ], axis=1)
-    a = A[i]
+    parts = [mt.albedo, mt.alpha,
+             mt.mtype[:, None].astype(f32),
+             mt.albedo_tex[:, None].astype(f32),
+             mt.alpha_tex[:, None].astype(f32),
+             mt.twosided[:, None].astype(f32)]     # 9 base cols
+    has_spec = bool(tp & _SPEC_USERS)
+    has_plastic = bool(tp & _PLASTIC_USERS)
+    has_extra = bool(tp & _EXTRA_USERS)
+    if has_spec:
+        parts += [mt.eta_c, mt.k_c, mt.eta[:, None], mt.spec_refl,
+                  mt.spec_trans]                   # 13 cols
+    if has_plastic:
+        parts += [mt.fdr_int[:, None], mt.spec_weight[:, None]]  # 2
+    if has_extra:
+        parts += [mt.extra]                        # 10
+    A = jnp.concatenate(parts, axis=1)
+    a = m.take_rows(A, i)
+    n = a.shape[0]
+
     albedo = a[:, 0:3]
     alpha = a[:, 3:5]
     if not scene.textures.empty:
-        atex = a[:, 31].astype(jnp.int32)
+        atex = a[:, 6].astype(jnp.int32)
         albedo = jnp.where(
             (atex >= 0)[..., None],
             scene.textures.eval_bilinear(jnp.maximum(atex, 0), si.uv),
             albedo)
-        rtex = a[:, 32].astype(jnp.int32)
+        rtex = a[:, 7].astype(jnp.int32)
         rough = scene.textures.eval_bilinear(jnp.maximum(rtex, 0),
                                              si.uv)[..., 0]
         alpha = jnp.where((rtex >= 0)[..., None],
                           jnp.stack([rough, rough], -1), alpha)
     alpha = jnp.maximum(alpha, 1e-4)
+
+    off = 9
+    if has_spec:
+        eta_c, k_c = a[:, off:off + 3], a[:, off + 3:off + 6]
+        eta = a[:, off + 6]
+        spec_refl = a[:, off + 7:off + 10]
+        spec_trans = a[:, off + 10:off + 13]
+        off += 13
+    else:
+        eta_c = jnp.zeros((n, 3))
+        k_c = jnp.ones((n, 3))
+        eta = jnp.ones((n,))
+        spec_refl = jnp.ones((n, 3))
+        spec_trans = jnp.ones((n, 3))
+    if has_plastic:
+        fdr_int, spec_weight = a[:, off], a[:, off + 1]
+        off += 2
+    else:
+        fdr_int = jnp.zeros((n,))
+        spec_weight = jnp.full((n,), 0.5)
+    extra = a[:, off:off + 10] if has_extra else jnp.zeros((n, 10))
+
     return dict(
-        mtype=a[:, 30].astype(jnp.int32), albedo=albedo, alpha=alpha,
-        eta_c=a[:, 5:8], k_c=a[:, 8:11], eta=a[:, 11],
-        spec_refl=a[:, 12:15], spec_trans=a[:, 15:18],
-        twosided=a[:, 33] > 0.5,
-        fdr_int=a[:, 18], spec_weight=a[:, 19],
-        extra=a[:, 20:30])
+        mtype=a[:, 5].astype(jnp.int32), albedo=albedo, alpha=alpha,
+        eta_c=eta_c, k_c=k_c, eta=eta,
+        spec_refl=spec_refl, spec_trans=spec_trans,
+        twosided=a[:, 8] > 0.5,
+        fdr_int=fdr_int, spec_weight=spec_weight,
+        extra=extra)
 
 
 def _flip(p, wi, wo=None):

@@ -136,6 +136,38 @@ def render_pass(scene, acc, seed, spp_pass: int, integrator: str = "path",
                                   spp_pass)
 
 
+@functools.partial(jax.jit, static_argnames=("integrator", "max_depth",
+                                             "rr_depth", "spp_pass",
+                                             "n_passes", "sampler_mode",
+                                             "spp_total", "develop"),
+                   donate_argnames=("acc",))
+def render_passes(scene, acc, seed, n_passes: int, spp_pass: int,
+                  integrator: str = "path", max_depth: int = 6,
+                  rr_depth: int = 5, sampler_mode: str = "independent",
+                  spp_total: int = None, develop: bool = True):
+    """n_passes equal passes + optional develop fused into ONE XLA
+    program (one device dispatch).  The per-dispatch latency of a
+    remote-attached TPU (~25 ms on the axon relay) otherwise multiplies
+    with the pass count; lax.fori_loop also compiles the pass body once
+    instead of once per pass.  Seeds replicate the Python loop in
+    ``render``: pass i uses seed + spp_pass*i + done, done = spp_pass*i
+    (mvpath.cpp:227 discipline)."""
+    from ..film import film_develop
+
+    def body(i, acc):
+        done = spp_pass * i
+        pass_seed = jnp.uint32(seed + spp_pass * i + done) \
+            if sampler_mode == "independent" else jnp.uint32(seed)
+        return render_pass.__wrapped__(
+            scene, acc, pass_seed, spp_pass, integrator, max_depth,
+            rr_depth, sampler_mode=sampler_mode,
+            sample_base=jnp.uint32(done),
+            spp_total=spp_total or spp_pass * n_passes)
+
+    acc = jax.lax.fori_loop(0, n_passes, body, acc)
+    return film_develop.__wrapped__(acc) if develop else acc
+
+
 def render(scene, spp: int = 16, seed: int = 0, integrator: str = "path",
            max_depth: int = 6, rr_depth: int = 5, spp_per_pass: int = None,
            sampler: str = "independent", raw: bool = False):
@@ -152,15 +184,19 @@ def render(scene, spp: int = 16, seed: int = 0, integrator: str = "path",
         # bound wavefront to ~2^22 lanes per pass
         spp_per_pass = max(1, min(spp, (1 << 22) // max(W * H, 1)))
     acc = film_prepare(scene.film)
-    done = 0
-    i = 0
-    while done < spp:
-        sp = min(spp_per_pass, spp - done)
+    n_full = spp // spp_per_pass
+    if n_full > 0:
+        # all equal-sized passes + develop fused into ONE dispatch
+        acc = render_passes(scene, acc, jnp.uint32(seed), n_full,
+                            spp_per_pass, integrator, max_depth, rr_depth,
+                            sampler_mode=sampler, spp_total=spp,
+                            develop=False)
+    done = n_full * spp_per_pass
+    if done < spp:   # remainder pass (different static wavefront size)
+        sp = spp - done
         pass_seed = jnp.uint32(seed if sampler != "independent"
-                               else seed + sp * i + done)
+                               else seed + sp * n_full + done)
         acc = render_pass(scene, acc, pass_seed, sp, integrator, max_depth,
                           rr_depth, sampler_mode=sampler,
                           sample_base=jnp.uint32(done), spp_total=spp)
-        done += sp
-        i += 1
     return acc if raw else film_develop(acc)

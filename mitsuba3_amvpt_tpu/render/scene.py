@@ -65,6 +65,11 @@ class GeometryArrays:
     # frame aligns sh_t with the fiber axis (hair BSDF convention,
     # src/bsdfs/hair.cpp:566-589)
     vtangents: jnp.ndarray = None  # (V, 3) or None
+    # static attribute-presence flags: the SI reconstruction's packed
+    # gather skips normal/uv columns entirely when no face uses them
+    # (gather row width is the hot-loop's main HBM cost)
+    any_vn: bool = struct.field(pytree_node=False, default=True)
+    any_uv: bool = struct.field(pytree_node=False, default=True)
 
     @property
     def tri_p0(self):
@@ -216,18 +221,32 @@ class Scene:
             f32 = jnp.float32
             f0, f1, f2 = g.faces[:, 0], g.faces[:, 1], g.faces[:, 2]
             sshp = jnp.maximum(g.tri_shape, 0)
-            A = jnp.concatenate([
+            # column groups included only when any face uses them (the
+            # any_vn/any_uv static flags): a flat-shaded untextured
+            # scene gathers 11 columns instead of 29
+            parts = [
                 g.verts[f0], g.verts[f1], g.verts[f2],              # 0:9
-                g.vnormals[f0], g.vnormals[f1], g.vnormals[f2],     # 9:18
-                g.vuvs[f0], g.vuvs[f1], g.vuvs[f2],                 # 18:24
-                g.has_vn[:, None].astype(f32),                      # 24
-                g.has_uv[:, None].astype(f32),                      # 25
-                g.tri_shape[:, None].astype(f32),                   # 26
-                self.shape_material[sshp][:, None].astype(f32),     # 27
-                self.shape_emitter[sshp][:, None].astype(f32),      # 28
-            ] + ([g.vtangents[f0], g.vtangents[f1], g.vtangents[f2]]
-                 if g.vtangents is not None else []), axis=1)  # 29:38
-            a = A[tri]                                       # (n, 29|38)
+                self.shape_material[sshp][:, None].astype(f32),     # 9
+                self.shape_emitter[sshp][:, None].astype(f32),      # 10
+            ]
+            off_vn = off_uv = off_tg = -1
+            off = 11
+            if g.any_vn:
+                parts += [g.vnormals[f0], g.vnormals[f1],
+                          g.vnormals[f2], g.has_vn[:, None].astype(f32)]
+                off_vn = off
+                off += 10
+            if g.any_uv:
+                parts += [g.vuvs[f0], g.vuvs[f1], g.vuvs[f2],
+                          g.has_uv[:, None].astype(f32)]
+                off_uv = off
+                off += 7
+            if g.vtangents is not None:
+                parts += [g.vtangents[f0], g.vtangents[f1],
+                          g.vtangents[f2]]
+                off_tg = off
+            A = jnp.concatenate(parts, axis=1)
+            a = m.take_rows(A, tri)                          # (n, C)
             p0, p1, p2 = a[:, 0:3], a[:, 3:6], a[:, 6:9]
             t_d, u_d, v_d, _ = traverse.ray_triangle(ray.o, ray.d, p0, p1, p2, eps=1.0)
             t_tri = m.replace_grad(pi.t, t_d)
@@ -237,21 +256,29 @@ class Scene:
             p_tri = (b0[..., None] * p0 + uv_tri[..., 0:1] * p1
                      + uv_tri[..., 1:2] * p2)
             ng_tri = m.normalize(jnp.cross(p1 - p0, p2 - p0))
-            vn = (b0[..., None] * a[:, 9:12]
-                  + uv_tri[..., 0:1] * a[:, 12:15]
-                  + uv_tri[..., 1:2] * a[:, 15:18])
-            use_vn = a[:, 24] > 0.5
-            ns_tri = jnp.where(use_vn[..., None], m.normalize(vn), ng_tri)
-            tuv = (b0[..., None] * a[:, 18:20]
-                   + uv_tri[..., 0:1] * a[:, 20:22]
-                   + uv_tri[..., 1:2] * a[:, 22:24])
-            uv_surf_tri = jnp.where((a[:, 25] > 0.5)[..., None], tuv, uv_tri)
-            mat_tri = a[:, 27].astype(jnp.int32)
-            emi_tri = a[:, 28].astype(jnp.int32)
-            if g.vtangents is not None:
-                tg_tri = (b0[..., None] * a[:, 29:32]
-                          + uv_tri[..., 0:1] * a[:, 32:35]
-                          + uv_tri[..., 1:2] * a[:, 35:38])
+            if off_vn >= 0:
+                vn = (b0[..., None] * a[:, off_vn:off_vn + 3]
+                      + uv_tri[..., 0:1] * a[:, off_vn + 3:off_vn + 6]
+                      + uv_tri[..., 1:2] * a[:, off_vn + 6:off_vn + 9])
+                use_vn = a[:, off_vn + 9] > 0.5
+                ns_tri = jnp.where(use_vn[..., None], m.normalize(vn),
+                                   ng_tri)
+            else:
+                ns_tri = ng_tri
+            if off_uv >= 0:
+                tuv = (b0[..., None] * a[:, off_uv:off_uv + 2]
+                       + uv_tri[..., 0:1] * a[:, off_uv + 2:off_uv + 4]
+                       + uv_tri[..., 1:2] * a[:, off_uv + 4:off_uv + 6])
+                uv_surf_tri = jnp.where(
+                    (a[:, off_uv + 6] > 0.5)[..., None], tuv, uv_tri)
+            else:
+                uv_surf_tri = uv_tri
+            mat_tri = a[:, 9].astype(jnp.int32)
+            emi_tri = a[:, 10].astype(jnp.int32)
+            if off_tg >= 0:
+                tg_tri = (b0[..., None] * a[:, off_tg:off_tg + 3]
+                          + uv_tri[..., 0:1] * a[:, off_tg + 3:off_tg + 6]
+                          + uv_tri[..., 1:2] * a[:, off_tg + 6:off_tg + 9])
             else:
                 tg_tri = None
         else:
@@ -276,7 +303,7 @@ class Scene:
                 self.shape_material[sshp][:, None].astype(f32),     # 4
                 self.shape_emitter[sshp][:, None].astype(f32),      # 5
             ], axis=1)
-            b = B[sph]
+            b = m.take_rows(B, sph)
             c = b[:, 0:3]
             r = b[:, 3]
             p_raw = ray.o + ray.d * pi.t[..., None]
@@ -522,7 +549,7 @@ class Scene:
             em.params[ls_e][:, 0:2],                         # 26:28
             ls_e[:, None].astype(f32),                       # 28
         ], axis=1)
-        a = A[entry]                                  # (n, 29)
+        a = m.take_rows(A, entry)                     # (n, C)
         etype = a[:, 0].astype(jnp.int32)
         prim = a[:, 1].astype(jnp.int32)
         e_id = a[:, 28].astype(jnp.int32)
