@@ -83,12 +83,59 @@ def _spectrum3(v, default=0.5):
             v = v.get("value", v.get("scale", 1.0))
         elif t == "blackbody":
             v = _blackbody_rgb(v.get("temperature", 6500.0)) * v.get("scale", 1.0)
+        elif t in ("regular", "irregular", "spectrum"):
+            v = _tabulated_spectrum_rgb(v)
         else:
             v = v.get("value", default)
+    if isinstance(v, str) and ":" in v:
+        # "wl0:v0, wl1:v1, ..." inline spectrum string (xml.cpp spectra)
+        pairs = [p.split(":") for p in v.replace(",", " ").split()]
+        v = _tabulated_spectrum_rgb(dict(
+            type="irregular",
+            wavelengths=[float(p[0]) for p in pairs],
+            values=[float(p[1]) for p in pairs]))
     a = np.asarray(v, np.float64).reshape(-1)
     if a.size == 1:
         a = np.repeat(a, 3)
     return a[:3]
+
+
+def _tabulated_spectrum_rgb(spec):
+    """regular/irregular tabulated spectrum -> linear sRGB reflectance
+    (src/spectra/{regular,irregular}.cpp; RGB-variant conversion =
+    CIE-integration against D65, spectrum.cpp spectrum_list_to_srgb)."""
+    from ..core import spectrum as S
+
+    def _floats(x):
+        if isinstance(x, str):
+            return np.asarray([float(t) for t in
+                               x.replace(",", " ").split()], np.float64)
+        return np.asarray(x, np.float64).reshape(-1)
+
+    values = _floats(spec.get("values", spec.get("value", 1.0)))
+    if "wavelengths" in spec:
+        wl = _floats(spec["wavelengths"])
+    else:
+        lo = float(spec.get("lambda_min", spec.get("wavelength_min", 360.0)))
+        hi = float(spec.get("lambda_max", spec.get("wavelength_max", 830.0)))
+        wl = np.linspace(lo, hi, max(values.size, 2))
+    if values.size == 1:
+        values = np.repeat(values, wl.size)
+
+    grid = np.linspace(360.0, 830.0, 236)
+    sv = np.interp(grid, wl, values, left=0.0, right=0.0)
+    import jax.numpy as jnp
+    xyz_bar = np.asarray(S.cie1931_xyz(jnp.asarray(grid)))
+    d65 = np.asarray(S.cie_d65(jnp.asarray(grid)))
+    num = (xyz_bar * (sv * d65)[:, None]).sum(0)
+    # normalize against the SAME fitted observer's white point so a
+    # flat unit reflectance maps exactly to sRGB (1,1,1) — the analytic
+    # CIE/D65 fits carry a few percent of per-channel bias otherwise
+    white = (xyz_bar * d65[:, None]).sum(0)
+    d65_xyz = np.array([0.95047, 1.0, 1.08883])
+    xyz = num / np.maximum(white, 1e-12) * d65_xyz
+    rgb = np.asarray(S.xyz_to_srgb(jnp.asarray(xyz)))
+    return np.clip(rgb, 0.0, None)
 
 
 def _blackbody_rgb(temp_k):
