@@ -100,6 +100,11 @@ def _spectrum3(v, default=0.5):
     return a[:3]
 
 
+def _edge_table(verts, faces):
+    from ..ad.projective import build_edge_table
+    return build_edge_table(verts, faces)
+
+
 def _tabulated_spectrum_rgb(spec):
     """regular/irregular tabulated spectrum -> linear sRGB reflectance
     (src/spectra/{regular,irregular}.cpp; RGB-variant conversion =
@@ -1020,7 +1025,8 @@ class _Builder:
             tri_order=jnp.asarray(tri_order),
             vtangents=None if vtans is None else jnp.asarray(vtans),
             any_vn=bool(np.asarray(hasvn).any()),
-            any_uv=bool(np.asarray(hasuv).any()))
+            any_uv=bool(np.asarray(hasuv).any()),
+            edges=jnp.asarray(_edge_table(verts, faces)))
 
         # SDF grid shapes (render/sdf.py)
         sdfs = []

@@ -70,6 +70,11 @@ class GeometryArrays:
     # (gather row width is the hot-loop's main HBM cost)
     any_vn: bool = struct.field(pytree_node=False, default=True)
     any_uv: bool = struct.field(pytree_node=False, default=True)
+    # unique mesh edges for silhouette sampling (ad/projective.py):
+    # (E, 4) int32 [v0, v1, face_a, face_b]; face_b = -1 on open
+    # boundaries.  Built position-welded so per-corner vertex splits
+    # (OBJ expansion) don't hide adjacency.
+    edges: jnp.ndarray = None
 
     @property
     def tri_p0(self):

@@ -1,0 +1,104 @@
+"""Projective (silhouette) gradient tests — the visibility-derivative
+capability of the reference's direct_projective/prb_projective
+integrators, validated against finite differences (the
+test_ad_integrators.py FD harness shape)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import mitsuba3_amvpt_tpu as mt
+from mitsuba3_amvpt_tpu.ad.projective import (boundary_image,
+                                              build_edge_table,
+                                              render_ad_projective)
+
+
+class TestEdgeTable:
+    def test_quad(self):
+        v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0], [0, 1, 0]], float)
+        f = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+        e = build_edge_table(v, f)
+        assert e.shape == (5, 4)
+        # exactly one interior edge (the diagonal) has two faces
+        inner = e[e[:, 3] >= 0]
+        assert len(inner) == 1
+        assert {inner[0, 2], inner[0, 3]} == {0, 1}
+        assert (e[e[:, 3] < 0].shape[0]) == 4
+
+    def test_welding(self):
+        # duplicated corner vertices (per-corner split) still weld
+        v = np.array([[0, 0, 0], [1, 0, 0], [1, 1, 0],
+                      [0, 0, 0], [1, 1, 0], [0, 1, 0]], float)
+        f = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+        e = build_edge_table(v, f)
+        inner = e[e[:, 3] >= 0]
+        assert len(inner) == 1
+
+
+def _occluder_scene(shift_x=0.0):
+    """Black occluder square in front of a bright constant background.
+
+    Interior gradients are zero everywhere (black diffuse, constant
+    env): any d(image)/d(shift) is pure silhouette motion."""
+    return mt.load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective", "fov": 40,
+                   "to_world": {"lookat": {
+                       "origin": [0, 0, 4], "target": [0, 0, 0],
+                       "up": [0, 1, 0]}},
+                   "film": {"type": "hdrfilm", "width": 64, "height": 64,
+                            "rfilter": {"type": "box"}}},
+        "bg": {"type": "constant", "radiance": 1.0},
+        "occ": {"type": "rectangle",
+                "to_world": {"translate": [shift_x, 0.0, 0.0],
+                             "scale": 0.6},
+                "bsdf": {"type": "diffuse", "reflectance": 0.0}},
+    })
+
+
+def _loss(img):
+    # weight pixels by x so a pure translation has nonzero derivative
+    W = img.shape[1]
+    wgt = jnp.linspace(0.0, 1.0, W)[None, :, None]
+    return jnp.mean(img * wgt)
+
+
+class TestPrimaryBoundary:
+    def test_matches_finite_differences(self):
+        spp = 16
+
+        def loss_at(dx):
+            sc = _occluder_scene()
+            verts = sc.geom.verts + jnp.asarray([dx, 0.0, 0.0])
+            sc = sc.replace(geom=sc.geom.replace(verts=verts))
+            img = render_ad_projective(sc, spp=spp, seed=3, max_depth=2)
+            return _loss(img)
+
+        g_ad = float(jax.grad(loss_at)(jnp.asarray(0.0)))
+
+        h = 0.02
+        f_p = float(loss_at(jnp.asarray(h)))
+        f_m = float(loss_at(jnp.asarray(-h)))
+        g_fd = (f_p - f_m) / (2 * h)
+
+        # PRB alone sees nothing (sanity for the test design)
+        from mitsuba3_amvpt_tpu.ad.prb import render_ad
+
+        def loss_prb(dx):
+            sc = _occluder_scene()
+            verts = sc.geom.verts + jnp.asarray([dx, 0.0, 0.0])
+            sc = sc.replace(geom=sc.geom.replace(verts=verts))
+            return _loss(render_ad(sc, spp=spp, seed=3, max_depth=2))
+
+        g_interior = float(jax.grad(loss_prb)(jnp.asarray(0.0)))
+
+        assert abs(g_fd) > 1e-4          # the FD signal exists
+        assert abs(g_interior) < 0.25 * abs(g_fd)
+        assert abs(g_ad - g_fd) < 0.2 * abs(g_fd), (g_ad, g_fd)
+
+    def test_boundary_image_is_zero_primal(self):
+        sc = _occluder_scene()
+        img = boundary_image(sc, 0, 256, 2)
+        assert img.shape == (64, 64, 3)
+        assert float(jnp.abs(img).max()) == 0.0
