@@ -24,4 +24,5 @@ from .core import math as cmath  # noqa: F401
 from .core import warp, rng, fresnel, microfacet, spectrum  # noqa: F401
 from .render.records import Ray, SurfaceInteraction, DirectionSample  # noqa: F401
 from .loader.dict_loader import load_dict  # noqa: F401
+from .loader.xml_loader import load_file, load_string  # noqa: F401
 from .render.integrators.api import render  # noqa: F401
