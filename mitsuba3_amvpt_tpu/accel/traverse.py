@@ -79,7 +79,8 @@ def ray_aabb(o, inv_d, lo, hi, maxt):
 # Brute-force sweep (scan over primitive tiles)
 # ---------------------------------------------------------------------------
 
-def intersect_brute(geom, o, d, maxt, tile: int = 128):
+def intersect_brute(geom, o, d, maxt, tile: int = 128,
+                    any_hit: bool = False):
     """All-pairs sweep. geom is a GeometryArrays (see render/scene.py).
 
     On TPU the triangle sweep runs as a Pallas kernel with the soup
@@ -104,7 +105,7 @@ def intersect_brute(geom, o, d, maxt, tile: int = 128):
         from ..ops.isect import pack_tri_rows, ray_triangles_pallas_rows
         rows = pack_tri_rows(tri_p0, tri_p1, tri_p2)
         t, u, v, pid = ray_triangles_pallas_rows(
-            o, d, jnp.minimum(maxt, best_t), rows)
+            o, d, jnp.minimum(maxt, best_t), rows, any_hit=any_hit)
         upd = jnp.isfinite(t)
         best = (jnp.where(upd, t, best[0]),
                 jnp.where(upd[:, None], jnp.stack([u, v], -1), best[1]),
@@ -113,7 +114,7 @@ def intersect_brute(geom, o, d, maxt, tile: int = 128):
         from ..ops.isect import pack_tri_soa, ray_triangles_pallas
         soa = pack_tri_soa(tri_p0, tri_p1, tri_p2)
         t, u, v, pid = ray_triangles_pallas(o, d, jnp.minimum(maxt, best_t),
-                                            soa)
+                                            soa, any_hit=any_hit)
         upd = jnp.isfinite(t)
         best = (jnp.where(upd, t, best[0]),
                 jnp.where(upd[:, None], jnp.stack([u, v], -1), best[1]),
@@ -390,5 +391,5 @@ def ray_test(geom, ray, mode: str = None):
     if mode == "bvh":
         t, _, prim = intersect_bvh(geom, o, d, ray.maxt, any_hit=True)
         return prim >= 0
-    t, _, prim = intersect_brute(geom, o, d, ray.maxt)
+    t, _, prim = intersect_brute(geom, o, d, ray.maxt, any_hit=True)
     return prim >= 0

@@ -81,14 +81,20 @@ TAKE_ROWS_MATMUL_MAX = 512
 
 def take_rows(table, idx):
     """table (R, C) indexed by idx (N,) -> (N, C); exact (0/1 weights,
-    one nonzero per row) but MXU-speed for small R."""
+    one nonzero per row) but MXU-speed for small R.
+
+    precision=HIGHEST is load-bearing: the TPU default feeds the MXU
+    bf16-truncated inputs, which silently quantizes every fetched
+    attribute (measured as a 5% image shift on Cornell).  f32x3
+    reconstructs the full 24-bit mantissa, so the fetch is exact."""
     import jax
     R = table.shape[0]
     if R > TAKE_ROWS_MATMUL_MAX:
         return table[idx]
     onehot = jax.nn.one_hot(idx, R, dtype=table.dtype)
     return jnp.einsum("nr,rc->nc", onehot, table,
-                      preferred_element_type=table.dtype)
+                      preferred_element_type=table.dtype,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def mulsign(x, s):

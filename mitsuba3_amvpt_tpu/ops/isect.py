@@ -82,6 +82,11 @@ def _closest_kernel(rays_ref, tris_ref, t_ref, u_ref, v_ref, id_ref,
         hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
                & (u + v <= 1.0) & (t > 0.0) & (t < bx(maxt))
                & (t < bx(bt)))
+        if any_hit:
+            occ = jnp.any(hit, axis=1)
+            bt = jnp.where(occ, 0.0, bt)
+            bid = jnp.where(occ, i * TRI_TILE, bid)
+            return bt, bu, bv, bid
         t = jnp.where(hit, t, _BIG)
         # reduce over the tile
         k = jnp.argmin(t, axis=1)
@@ -193,6 +198,15 @@ def _closest_kernel_rows(rays_ref, tris_ref, t_ref, u_ref, v_ref, id_ref,
     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
     hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
            & (u + v <= 1.0) & (t > 0.0) & (t < maxt[None, :]))
+    if any_hit:
+        # shadow query: only occlusion matters — skip the winning-row
+        # selection entirely (~40% of the kernel's VPU work)
+        occ = jnp.any(hit, axis=0)
+        t_ref[:] = jnp.where(occ, 0.0, _BIG)
+        u_ref[:] = jnp.zeros((B,))
+        v_ref[:] = jnp.zeros((B,))
+        id_ref[:] = jnp.where(occ, 0, -1)
+        return
     t = jnp.where(hit, t, _BIG)
     k = jnp.argmin(t, axis=0)                   # (B,) winning row
     tk = jnp.min(t, axis=0)
