@@ -86,15 +86,51 @@ def take_rows(table, idx):
     precision=HIGHEST is load-bearing: the TPU default feeds the MXU
     bf16-truncated inputs, which silently quantizes every fetched
     attribute (measured as a 5% image shift on Cornell).  f32x3
-    reconstructs the full 24-bit mantissa, so the fetch is exact."""
-    import jax
+    reconstructs the full 24-bit mantissa, so the fetch is exact.
+
+    The VJP is a scatter-add, NOT the einsum transpose — the transpose
+    is a (R, n) @ (n, C) f32x3 contraction over the whole wavefront,
+    which made PRB backward 2.6x slower than the plain-gather days."""
     R = table.shape[0]
     if R > TAKE_ROWS_MATMUL_MAX:
         return table[idx]
-    onehot = jax.nn.one_hot(idx, R, dtype=table.dtype)
+    return _take_rows_mm(table, idx)
+
+
+def _take_rows_fwd(table, idx):
+    return _take_rows_mm_impl(table, idx), (idx, table.shape[0])
+
+
+def _take_rows_bwd(res, g):
+    # one-hot matmul transpose at DEFAULT precision: the (R, n) @ (n, C)
+    # contraction sums ~1M cotangents per row, so bf16-rounded inputs
+    # with f32 accumulation cost ~0.4% relative noise on the gradient —
+    # immaterial next to MC noise — while f32x3 (6x passes) made PRB
+    # backward 2.6x slower and a scatter-add 4x slower (both measured)
+    import jax
+    idx, R = res
+    onehot = jax.nn.one_hot(idx, R, dtype=g.dtype)
+    d_table = jnp.einsum("nr,nc->rc", onehot, g,
+                         preferred_element_type=g.dtype)
+    return (d_table, None)
+
+
+def _take_rows_mm_impl(table, idx):
+    import jax
+    onehot = jax.nn.one_hot(idx, table.shape[0], dtype=table.dtype)
     return jnp.einsum("nr,rc->nc", onehot, table,
                       preferred_element_type=table.dtype,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _make_take_rows_mm():
+    import jax
+    f = jax.custom_vjp(_take_rows_mm_impl)
+    f.defvjp(_take_rows_fwd, _take_rows_bwd)
+    return f
+
+
+_take_rows_mm = _make_take_rows_mm()
 
 
 def mulsign(x, s):
