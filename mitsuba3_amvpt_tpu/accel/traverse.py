@@ -91,8 +91,12 @@ def intersect_brute(geom, o, d, maxt, tile: int = 128,
     F = tri_p0.shape[0]
     n = o.shape[0]
 
-    best_t = jnp.minimum(jnp.full((n,), jnp.inf), maxt)
-    best = (best_t, jnp.zeros((n, 2)), jnp.full((n,), -1, jnp.int32))
+    # derive every init from the (possibly device-varying) ray arrays so
+    # the scan carry types agree under shard_map's varying-axes check
+    # (maxt alone may be an unvarying constant like full(inf))
+    best_t = jnp.minimum(o[:, 0] * 0.0 + jnp.inf, maxt)
+    best = (best_t, o[:, :2] * 0.0,
+            (o[:, 0] * 0.0 - 1.0).astype(jnp.int32))
 
     use_pallas = (jax.default_backend() == "tpu"
                   and 0 < F and F * 36 <= (8 << 20))

@@ -7,4 +7,5 @@ from .misc import render_aovs, render_moment  # noqa: F401
 from .mvpath import render_mvpath  # noqa: F401
 from .ptracer import render_ptracer  # noqa: F401
 from .spectral import render_spectral  # noqa: F401
+from .adaptive import render_multiview_adaptive  # noqa: F401
 from .stokes import render_stokes  # noqa: F401
