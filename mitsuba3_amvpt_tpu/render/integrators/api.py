@@ -181,8 +181,14 @@ def render(scene, spp: int = 16, seed: int = 0, integrator: str = "path",
     """
     W, H = scene.sensor.film_resolution
     if spp_per_pass is None:
-        # bound wavefront to ~2^22 lanes per pass
-        spp_per_pass = max(1, min(spp, (1 << 22) // max(W * H, 1)))
+        # bound wavefront to ~2^22 lanes per pass; the HBM-streaming
+        # tracer for large scenes needs a tighter cap (its per-tile DMA
+        # buffers scale with the wavefront — 1M lanes x 1M tris hits a
+        # TPU FAILED_PRECONDITION, 2^18 lanes measured safe)
+        cap = (1 << 18) if (scene.geom.accel_mode == "tiled"
+                            and scene.geom.faces.shape[0] > 200_000) \
+            else (1 << 22)
+        spp_per_pass = max(1, min(spp, cap // max(W * H, 1)))
     acc = film_prepare(scene.film)
     n_full = spp // spp_per_pass
     if n_full > 0:
