@@ -1,12 +1,15 @@
 """Benchmark harness (driver-run on real TPU at end of round).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the final line is the round-over-round
+headline (Cornell primal Mrays/s, tracked since round 1).
 
-Headline metric (BASELINE.json): Mrays/s/chip on the Cornell-box config
-(256x256 @ 64 spp, max depth 6).  Ray count is the number of ray-trace
-queries the wavefront actually executes: every lane runs `max_depth`
-closest-hit + `max_depth` shadow queries in lockstep, so
-rays = W*H*spp * max_depth * 2 per pass.
+Metrics (BASELINE.json):
+* ``bigscene_1m_mrays_per_s`` — primal throughput on a ~1M-triangle
+  scene (HBM-streaming tracer; config-5 single-chip scale proxy).
+* ``cornell_fwdbwd_64spp_mrays_per_s`` — PRB fwd+bwd at 64 spp, the
+  BASELINE headline ("Mrays/s/chip fwd+bwd").  Ray count is the primal
+  query count (W*H*spp*depth*2); time is a full value_and_grad step.
+* ``cornell_256_64spp_d6_mrays_per_s`` — primal Cornell headline.
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is
 reported against a 100 Mrays/s nominal single-device target so the
@@ -21,6 +24,52 @@ import time
 NOMINAL_MRAYS = 100.0
 
 
+def emit(metric, mrays):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(mrays, 3),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / NOMINAL_MRAYS, 4),
+    }), flush=True)
+
+
+def bench_bigscene(mt, jax, jnp):
+    from mitsuba3_amvpt_tpu.utils import scenes
+    W = H = 256
+    SPP = 4
+    DEPTH = 4
+    scene = mt.load_dict(scenes.sphere_field(1_000_000, res=W))
+    img = mt.render(scene, spp=SPP, max_depth=DEPTH, seed=0)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    img = mt.render(scene, spp=SPP, max_depth=DEPTH, seed=1)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    emit("bigscene_1m_mrays_per_s", W * H * SPP * DEPTH * 2 / dt / 1e6)
+
+
+def bench_fwdbwd(mt, jax, jnp, scene):
+    from mitsuba3_amvpt_tpu.ad import render_ad, traverse, update_scene
+    W = H = 256
+    SPP = 64
+    DEPTH = 6
+    base = traverse(scene)["materials.albedo"]
+
+    @jax.jit
+    def loss_grad(theta, seed):
+        sc = update_scene(scene, {"materials.albedo": base * theta})
+        img = render_ad(sc, spp=SPP, max_depth=DEPTH, seed=seed)
+        return jnp.mean(img)
+
+    g = jax.jit(jax.grad(loss_grad))
+    jax.block_until_ready(g(1.0, 0))
+    t0 = time.perf_counter()
+    jax.block_until_ready(g(1.0, 1))
+    dt = time.perf_counter() - t0
+    emit("cornell_fwdbwd_64spp_mrays_per_s",
+         W * H * SPP * DEPTH * 2 / dt / 1e6)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -29,10 +78,20 @@ def main():
     from mitsuba3_amvpt_tpu.render.integrators.api import render_passes
     from mitsuba3_amvpt_tpu.utils import scenes
 
+    try:
+        bench_bigscene(mt, jax, jnp)
+    except Exception as e:  # keep the headline alive no matter what
+        print(f"# bigscene bench failed: {type(e).__name__}: {e}")
+
     W = H = 256
     SPP = 64
     DEPTH = 6
     scene = mt.load_dict(scenes.cornell_box(res=W))
+
+    try:
+        bench_fwdbwd(mt, jax, jnp, scene)
+    except Exception as e:
+        print(f"# fwdbwd bench failed: {type(e).__name__}: {e}")
 
     spp_pass = 16
     n_passes = SPP // spp_pass
@@ -50,15 +109,8 @@ def main():
     img = frame(1)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
-
-    rays = W * H * SPP * DEPTH * 2
-    mrays = rays / dt / 1e6
-    print(json.dumps({
-        "metric": "cornell_256_64spp_d6_mrays_per_s",
-        "value": round(mrays, 3),
-        "unit": "Mrays/s",
-        "vs_baseline": round(mrays / NOMINAL_MRAYS, 4),
-    }))
+    emit("cornell_256_64spp_d6_mrays_per_s",
+         W * H * SPP * DEPTH * 2 / dt / 1e6)
 
 
 if __name__ == "__main__":

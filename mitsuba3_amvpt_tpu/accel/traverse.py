@@ -305,17 +305,24 @@ def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
     """Large-scene tiled-cull sweep (ops/isect.py): triangles permuted
     into BVH-leaf order, per-tile AABB block culling, dense VPU tests.
     Rays are Morton-sorted so blocks stay coherent for the culling."""
-    from ..ops.isect import (pack_tiles, ray_triangles_tiled,
-                             ray_triangles_tiled_hbm)
+    from ..ops.isect import pack_tiles, ray_triangles_tiled
     order = geom.tri_order
     p0 = geom.tri_p0[order]
     p1 = geom.tri_p1[order]
     p2 = geom.tri_p2[order]
-    soa, tb = pack_tiles(p0, p1, p2)
-    # VMEM-resident soup up to ~6 MB; beyond that, stream tiles from HBM
-    # with hierarchical (super-tile) culling
-    if soa.shape[1] * 36 > (6 << 20):
-        ray_triangles_tiled = ray_triangles_tiled_hbm
+    # VMEM-resident soup up to ~6 MB; beyond that, the cull-then-pop
+    # HBM-streaming worklist tracer (ops/stream_trace.py)
+    F = p0.shape[0]
+    if F * 36 > (6 << 20):
+        from ..ops.stream_trace import (pack_tri_soa16,
+                                        ray_triangles_streamed,
+                                        tile_bounds16)
+        soa = pack_tri_soa16(p0, p1, p2)
+        tb = tile_bounds16(p0, p1, p2)
+        trace = ray_triangles_streamed
+    else:
+        soa, tb = pack_tiles(p0, p1, p2)
+        trace = ray_triangles_tiled
 
     if sort_rays:
         lo = jnp.min(tb[:3].min(1), 0)
@@ -323,13 +330,11 @@ def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
         keys = _ray_sort_keys(o, d, lo, hi)
         perm = jnp.argsort(keys)
         o_s, d_s, maxt_s = o[perm], d[perm], maxt[perm]
-        t, u, v, cid = ray_triangles_tiled(o_s, d_s, maxt_s, soa, tb,
-                                           any_hit=any_hit)
+        t, u, v, cid = trace(o_s, d_s, maxt_s, soa, tb, any_hit=any_hit)
         inv = jnp.argsort(perm)
         t, u, v, cid = t[inv], u[inv], v[inv], cid[inv]
     else:
-        t, u, v, cid = ray_triangles_tiled(o, d, maxt, soa, tb,
-                                           any_hit=any_hit)
+        t, u, v, cid = trace(o, d, maxt, soa, tb, any_hit=any_hit)
     prim = jnp.where(cid >= 0, order[jnp.maximum(cid, 0)], -1)
     best = (t, jnp.stack([u, v], -1), prim)
 

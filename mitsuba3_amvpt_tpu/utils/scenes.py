@@ -136,3 +136,70 @@ def veach_mis(res: int = 512):
             "bsdf": {"type": "diffuse", "reflectance": 0.0},
             "emitter": {"type": "area", "radiance": rad}}
     return d
+
+
+def _uv_sphere(n_theta, n_phi):
+    th = np.linspace(0, np.pi, n_theta + 1)
+    ph = np.linspace(0, 2 * np.pi, n_phi + 1)[:-1]
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    v = np.stack([np.sin(T) * np.cos(P), np.cos(T),
+                  np.sin(T) * np.sin(P)], -1).reshape(-1, 3)
+    idx = np.arange((n_theta + 1) * n_phi).reshape(n_theta + 1, n_phi)
+    f = []
+    for i in range(n_theta):
+        a, b = idx[i], idx[i + 1]
+        a2, b2 = np.roll(a, -1), np.roll(b, -1)
+        f.append(np.stack([a, b, b2], -1))
+        f.append(np.stack([a, b2, a2], -1))
+    return v, np.concatenate(f, 0).astype(np.int32)
+
+
+def sphere_field(n_tris_target: int, res: int = 256, grid: int = 6,
+                 max_depth: int = 4):
+    """Large-scene benchmark: a grid^3 field of tessellated spheres under
+    an area light (~n_tris_target triangles).  The BASELINE config-5
+    scale proxy (spectral ~1M-tri scene) for single-chip tracing."""
+    per = max(n_tris_target // (grid * grid * grid), 32)
+    n_theta = max(int(np.sqrt(per / 2)), 4)
+    v0, f0 = _uv_sphere(n_theta, n_theta)
+    verts, faces = [], []
+    off = 0
+    rng = np.random.default_rng(0)
+    for i in range(grid):
+        for j in range(grid):
+            for k in range(grid):
+                c = (np.array([i, j, k]) - (grid - 1) / 2.0) * 2.5
+                r = 0.7 + 0.4 * rng.random()
+                verts.append(v0 * r + c)
+                faces.append(f0 + off)
+                off += v0.shape[0]
+    v = np.concatenate(verts, 0)
+    f = np.concatenate(faces, 0)
+    ext = grid * 2.5
+    return {
+        "type": "scene",
+        "integrator": {"type": "path", "max_depth": max_depth},
+        "sensor": {
+            "type": "perspective", "fov": 60.0,
+            "to_world": {"type": "lookat",
+                         "origin": [0, 0.0, -ext * 1.4],
+                         "target": [0, 0, 0], "up": [0, 1, 0]},
+            "film": {"type": "hdrfilm", "width": res, "height": res,
+                     "rfilter": {"type": "box"}},
+        },
+        "spheres": {
+            "type": "trimesh", "vertices": v, "faces": f,
+            "face_normals": True,
+            "bsdf": {"type": "diffuse",
+                     "reflectance": {"type": "rgb",
+                                     "value": [0.6, 0.5, 0.4]}},
+        },
+        "light": {
+            "type": "rectangle",
+            "to_world": {"matrix": [
+                [ext, 0, 0, 0], [0, 0, ext, ext * 1.2],
+                [0, -ext, 0, 0], [0, 0, 0, 1]]},
+            "emitter": {"type": "area",
+                        "radiance": {"type": "rgb", "value": [8, 8, 8]}},
+        },
+    }
