@@ -1,6 +1,7 @@
 from . import api  # noqa: F401  (registers "path")
 from . import misc  # noqa: F401  (registers "direct", "depth"; aov/moment drivers)
-from . import volpath  # noqa: F401  (registers "volpath", "volpathmis")
+from . import volpath  # noqa: F401  (registers "volpath")
+from . import volpathmis  # noqa: F401  (registers "volpathmis")
 from . import stokes as _stokes  # noqa: F401  (registers "stokes")
 from .api import render, render_pass  # noqa: F401
 from .misc import render_aovs, render_moment  # noqa: F401

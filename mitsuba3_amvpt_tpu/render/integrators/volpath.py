@@ -1,7 +1,7 @@
 """Volumetric path tracer.
 
-Wavefront equivalent of src/integrators/volpath.cpp (561 LoC) +
-volpathmis.cpp (692): free-flight distance sampling with uniform
+Wavefront equivalent of src/integrators/volpath.cpp (561 LoC):
+free-flight distance sampling with uniform
 spectral channel selection (volpath.cpp:83), medium/surface event
 split, phase-function NEE with MIS, medium transitions at transmissive
 boundaries, and shadow rays that *cross* null-BSDF medium boundaries
@@ -272,4 +272,3 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
 
 
 register_integrator("volpath")(sample)
-register_integrator("volpathmis")(sample)

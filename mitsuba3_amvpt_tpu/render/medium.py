@@ -534,3 +534,185 @@ def medium_transmittance(media: MediumTable, vols, med_id, o, d, dist,
     if not hetero:
         return transmittance(media, med_id, dist)
     return transmittance_rt(media, vols, med_id, o, d, dist, key)
+
+
+# ---------------------------------------------------------------------------
+# Spectral-MIS (Miller et al. 2019) weight-matrix machinery for volpathmis
+# ---------------------------------------------------------------------------
+# The volpathmis estimator (reference src/integrators/volpathmis.cpp)
+# carries two 3x3 "p over f" matrices per lane: entry [i, j] is the
+# running product of (pdf evaluated as if channel j had driven the
+# sampling) / (path contribution in channel i).  The balance heuristic
+# over the 3 channel-sampling techniques is then
+# w[i] = 3 / sum_j M[i, j] (volpathmis.cpp:623-655 mis_weight).
+
+
+def wm_identity(n):
+    """Fresh weight matrices (N, 3, 3) of ones (volpathmis.cpp:152)."""
+    return jnp.ones((n, 3, 3))
+
+
+def wm_update(M, p, f, active):
+    """M[i, j] *= p[j] / f[i], non-finite ratios -> 0
+    (volpathmis.cpp:599-620 update_weights, SpectralMis variant).
+    p, f: (N, 3) spectra (scalars broadcast)."""
+    n = M.shape[0]
+    p = jnp.broadcast_to(jnp.asarray(p, M.dtype).reshape(n, -1), (n, 3))
+    f = jnp.broadcast_to(jnp.asarray(f, M.dtype).reshape(n, -1), (n, 3))
+    ratio = p[:, None, :] / f[:, :, None]
+    ratio = jnp.where(jnp.isfinite(ratio), ratio, 0.0)
+    out = M * ratio
+    out = jnp.where(jnp.isnan(out), 0.0, out)
+    return jnp.where(active[:, None, None], out, M)
+
+
+def wm_mis(M):
+    """Single-matrix MIS throughput: w[i] = 3 / sum_j M[i, j]
+    (volpathmis.cpp:623-637)."""
+    s = jnp.sum(M, axis=-1)
+    return jnp.where(s == 0.0, 0.0, 3.0 / jnp.where(s == 0.0, 1.0, s))
+
+
+def wm_mis2(M1, M2):
+    """Two-technique MIS (NEE vs unidirectional): w[i] =
+    3 / sum_j (M1 + M2)[i, j] (volpathmis.cpp:640-655)."""
+    s = jnp.sum(M1 + M2, axis=-1)
+    return jnp.where(s == 0.0, 0.0, 3.0 / jnp.where(s == 0.0, 1.0, s))
+
+
+def _spectral_majorant(media: MediumTable, med_id):
+    """Per-lane spectral majorant (N, 3): heterogeneous media use the
+    scalar grid majorant in all channels; homogeneous media use sigma_t
+    itself (homogeneous.cpp:161-165 get_majorant), which makes every
+    homogeneous collision a real collision."""
+    sid = jnp.maximum(med_id, 0)
+    is_het = media.density_vol[sid] >= 0
+    maj_hom = media.sigma_t[sid] * media.scale[sid][..., None]
+    maj_het = jnp.broadcast_to(media.majorant[sid][..., None],
+                               maj_hom.shape)
+    return jnp.where(is_het[..., None], maj_het, maj_hom)
+
+
+def ff_spectral_mis(media: MediumTable, vols, med_id, o, d, seg_len,
+                    key, channel):
+    """Free-flight sampling with spectral-MIS weight-matrix updates
+    (volpathmis.cpp:253-312: transmittance_eval_pdf + null/real
+    classification + per-event sigma ratio updates).
+
+    Walks majorant-sampled collisions; null collisions update the
+    matrices and continue, a real collision stops.  Returns
+    (t, real_event (bool), Mu_mult (N,3,3), Mn_mult (N,3,3)) where the
+    mults fold the whole flight: Mu_mult includes the real-scatter
+    factor (sigma_t/maj)/sigma_s; the caller resets the NEE matrix at
+    real events so Mn_mult carries only flight+null factors.
+    """
+    n = seg_len.shape[0]
+    maj = _spectral_majorant(media, med_id)             # (N, 3)
+    ch = jnp.clip(channel, 0, 2)
+    maj_c = jnp.take_along_axis(maj, ch[..., None], -1)[..., 0]
+    in_medium = (med_id >= 0) & (maj_c > 0.0)
+
+    init = dict(
+        t=jnp.zeros((n,)),
+        Mu=wm_identity(n), Mn=wm_identity(n),
+        real=jnp.zeros((n,), bool),
+        active=in_medium,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c):
+        return jnp.any(c["active"]) & (c["step"] < MAX_TRACK_STEPS)
+
+    def body(c):
+        u1 = _track_u(key, c["step"], 0)
+        u2 = _track_u(key, c["step"], 1)
+        t_new = c["t"] - jnp.log1p(-u1) / jnp.maximum(maj_c, 1e-20)
+        reached = t_new >= seg_len
+        dt = jnp.minimum(t_new, seg_len) - c["t"]
+        tr = jnp.exp(-dt[..., None] * maj)               # (N, 3)
+        # flight step: pdf = tr * maj at a collision, tr on escape
+        pdf_ff = jnp.where(reached[..., None], tr, tr * maj)
+        act = c["active"]
+        Mu = wm_update(c["Mu"], pdf_ff, tr, act)
+        Mn = wm_update(c["Mn"], pdf_ff, tr, act)
+
+        x = o + d * t_new[..., None]
+        st, ss = eval_sigma(media, vols, med_id, x)
+        st_c = jnp.take_along_axis(st, ch[..., None], -1)[..., 0]
+        real = (u2 < st_c / jnp.maximum(maj_c, 1e-20)) & ~reached
+        null = ~real & ~reached
+        sn = jnp.maximum(maj - st, 0.0)
+        # null collision (volpathmis.cpp:296-303)
+        Mu = wm_update(Mu, sn / maj, sn, act & null)
+        Mn = wm_update(Mn, jnp.ones((n, 3)), sn, act & null)
+        # real collision (volpathmis.cpp:306-311)
+        Mu = wm_update(Mu, st / maj, ss, act & real)
+        return dict(
+            t=jnp.where(act & real, t_new, jnp.where(act & null, t_new,
+                                                     c["t"])),
+            Mu=Mu, Mn=Mn,
+            real=c["real"] | (act & real),
+            active=act & null,
+            step=c["step"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    real = out["real"]
+    t = jnp.where(real, out["t"], seg_len)
+    ident = wm_identity(n)
+    Mu = jnp.where(in_medium[:, None, None], out["Mu"], ident)
+    Mn = jnp.where(in_medium[:, None, None], out["Mn"], ident)
+    return t, real, Mu, Mn
+
+
+def shadow_spectral_mis(media: MediumTable, vols, med_id, o, d, dist,
+                        key, channel):
+    """Shadow-segment transmittance walk for volpathmis NEE
+    (volpathmis.cpp:437-556 sample_emitter loop, single medium
+    segment): every collision is a forced null step.  Returns
+    (Mn_mult, Mu_mult) multiplicative (N,3,3) updates."""
+    n = dist.shape[0]
+    maj = _spectral_majorant(media, med_id)
+    ch = jnp.clip(channel, 0, 2)
+    maj_c = jnp.take_along_axis(maj, ch[..., None], -1)[..., 0]
+    in_medium = (med_id >= 0) & (maj_c > 0.0)
+
+    init = dict(
+        t=jnp.zeros((n,)),
+        Mn=wm_identity(n), Mu=wm_identity(n),
+        active=in_medium,
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(c):
+        return jnp.any(c["active"]) & (c["step"] < MAX_TRACK_STEPS)
+
+    def body(c):
+        u1 = _track_u(key, c["step"], 0)
+        t_new = c["t"] - jnp.log1p(-u1) / jnp.maximum(maj_c, 1e-20)
+        reached = t_new >= dist
+        dt = jnp.minimum(t_new, dist) - c["t"]
+        tr = jnp.exp(-dt[..., None] * maj)
+        pdf_ff = jnp.where(reached[..., None], tr, tr * maj)
+        act = c["active"]
+        Mn = wm_update(c["Mn"], pdf_ff, tr, act)
+        Mu = wm_update(c["Mu"], pdf_ff, tr, act)
+        x = o + d * t_new[..., None]
+        st, _ = eval_sigma(media, vols, med_id, x)
+        sn = jnp.maximum(maj - st, 0.0)
+        coll = act & ~reached
+        # forced null step (volpathmis.cpp:540-548)
+        Mn = wm_update(Mn, jnp.ones((n, 3)), sn, coll)
+        Mu = wm_update(Mu, sn / maj, sn, coll)
+        return dict(
+            t=jnp.where(coll, t_new, c["t"]),
+            Mn=Mn, Mu=Mu,
+            active=coll,
+            step=c["step"] + 1,
+        )
+
+    out = jax.lax.while_loop(cond, body, init)
+    ident = wm_identity(n)
+    Mn = jnp.where(in_medium[:, None, None], out["Mn"], ident)
+    Mu = jnp.where(in_medium[:, None, None], out["Mu"], ident)
+    return Mn, Mu
