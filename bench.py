@@ -72,6 +72,12 @@ def bench_fwdbwd(mt, jax, jnp, scene):
 
 def main():
     import jax
+    # persistent compile cache: the large-scene render programs take
+    # minutes to compile cold (Mosaic + XLA on the remote helper); the
+    # cache is primed in-repo so driver runs skip straight to execution
+    jax.config.update("jax_compilation_cache_dir",
+                      "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     import mitsuba3_amvpt_tpu as mt
     from mitsuba3_amvpt_tpu.render.film import film_prepare

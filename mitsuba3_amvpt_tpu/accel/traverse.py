@@ -288,16 +288,32 @@ def _morton3(x, y, z):
 
 
 def _ray_sort_keys(o, d, lo, hi):
-    """Coherence keys: direction octant (high bits) + Morton cell of the
-    origin — sorting rays by this makes kernel ray-blocks traverse
-    similar tile sets (the TPU analog of GPU ray binning)."""
+    """Coherence keys for ray binning: octant | coarse-origin Morton |
+    quantized direction | fine-origin Morton.
+
+    The direction bits are the load-bearing part for SECONDARY rays:
+    diffuse-bounce wavefronts share a small origin region but spray
+    directions over the hemisphere, and a block whose rays share only
+    an origin cell admits a huge tile set in the streamed tracer's
+    group-interval cull (measured 0.7 Mrays/s at 250k tris vs 740 for
+    coherent primaries).  Binning by (coarse origin, direction cone)
+    makes each 1024-ray block a narrow frustum again.  Direction within
+    the octant is parametrized by the normalized L1 coordinates
+    u = |dx|/(|dx|+|dy|+|dz|), v = |dy|/(...) quantized to 4 bits each."""
     extent = jnp.maximum(hi - lo, 1e-6)
     cell = jnp.clip(((o - lo) / extent * 255.0).astype(jnp.uint32), 0, 255)
     octant = ((d[..., 0] >= 0).astype(jnp.uint32)
               | ((d[..., 1] >= 0).astype(jnp.uint32) << 1)
               | ((d[..., 2] >= 0).astype(jnp.uint32) << 2))
-    m = _morton3(cell[..., 0], cell[..., 1], cell[..., 2])
-    return (octant << 24) | (m >> 3)
+    mo = _morton3(cell[..., 0], cell[..., 1], cell[..., 2])   # 24 bits
+    coarse = mo >> 15                                          # 9 bits
+    fine = (mo >> 3) & jnp.uint32(0xFFF)                       # 12 bits
+    ad = jnp.abs(d)
+    s = jnp.maximum(ad[..., 0] + ad[..., 1] + ad[..., 2], 1e-20)
+    du = jnp.clip((ad[..., 0] / s * 16.0).astype(jnp.uint32), 0, 15)
+    dv = jnp.clip((ad[..., 1] / s * 16.0).astype(jnp.uint32), 0, 15)
+    dirb = (du << 4) | dv                                      # 8 bits
+    return (octant << 29) | (coarse << 20) | (dirb << 12) | fine
 
 
 def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,

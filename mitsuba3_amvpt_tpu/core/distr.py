@@ -101,64 +101,128 @@ class ContinuousDistribution:
         return xs, pdf
 
 
+def _invert_linear_cdf(a, b, target):
+    """Solve fx in [0,1]: a*fx + (b-a)*fx^2/2 == target for a linear
+    density segment from a to b (distr_2d.h sample_continuous quadratic
+    inversion).  Falls back to the linear solution for a ~= b."""
+    d = b - a
+    lin = m.safe_div(target, jnp.maximum(a, 1e-20))
+    disc = jnp.maximum(a * a + 2.0 * d * target, 0.0)
+    quad = m.safe_div(jnp.sqrt(disc) - a, d)
+    fx = jnp.where(jnp.abs(d) > 1e-7 * jnp.maximum(a + b, 1e-20),
+                   quad, lin)
+    return jnp.clip(fx, 0.0, 1.0)
+
+
 @struct.dataclass
 class Marginal2D:
-    """2D warp over a (H, W) luminance table.
+    """Continuous bilinear 2D warp over a (H, W) node grid.
 
     Replaces Hierarchical2D<0> used by the envmap emitter
-    (src/emitters/envmap.cpp:103).  Sampling: pick row from the marginal
-    CDF, then column from the row's conditional CDF, with bilinear
-    re-uniformization inside the texel.  pdf() matches sample() exactly.
+    (src/emitters/envmap.cpp:103,233; include/mitsuba/core/distr_2d.h:49):
+    the table entries are *node* values of a bilinear interpolant on
+    [0,1]^2, the sampled density is exactly that interpolant (continuous
+    pdf — gradients of env radiance flow through a smooth density, and
+    chi2 tests bin against the same bilinear pdf), and ``pdf()`` matches
+    ``sample()`` analytically.  Sampling inverts the piecewise-quadratic
+    marginal/conditional CDFs; the conditional inversion is a masked
+    binary search over the per-row segment-integral cumsums lerped
+    between the two bracketing rows (the interpolated conditional CDF of
+    a bilinear density IS the lerp of the row CDFs), log2(W) two-gather
+    steps — the TPU analog of Hierarchical2D's mip descent.
     """
 
-    cond_cdf: jnp.ndarray   # (H, W) per-row inclusive cumsum of weights
-    marg_cdf: jnp.ndarray   # (H,) inclusive cumsum of row sums
-    data: jnp.ndarray       # (H, W) weights
+    node: jnp.ndarray       # (H, W) node values
+    cond_cdf: jnp.ndarray   # (H, W-1) per-row cumsum of x-seg integrals
+    marg_cdf: jnp.ndarray   # (H-1,) cumsum of y-seg integrals
+    _n_steps: int = struct.field(pytree_node=False, default=0)
 
     @staticmethod
     def from_data(data) -> "Marginal2D":
         data = jnp.asarray(data, jnp.float32)
-        cond = jnp.cumsum(data, axis=1)
-        marg = jnp.cumsum(cond[:, -1])
-        return Marginal2D(cond_cdf=cond, marg_cdf=marg, data=data)
+        if data.shape[0] < 2:
+            data = jnp.broadcast_to(data, (2,) + data.shape[1:])
+        if data.shape[1] < 2:
+            data = jnp.broadcast_to(data.reshape(data.shape[0], 1),
+                                    (data.shape[0], 2))
+        segx = 0.5 * (data[:, :-1] + data[:, 1:])     # (H, W-1)
+        cond = jnp.cumsum(segx, axis=1)
+        r = cond[:, -1]                                # row integrals
+        marg = jnp.cumsum(0.5 * (r[:-1] + r[1:]))
+        n_steps = max(int(data.shape[1] - 1).bit_length(), 1)
+        return Marginal2D(node=data, cond_cdf=cond, marg_cdf=marg,
+                          _n_steps=n_steps)
 
     @property
     def shape(self):
-        return self.data.shape
+        return self.node.shape
+
+    @property
+    def total(self):
+        """Integral of the interpolant in node-index space."""
+        return self.marg_cdf[-1]
+
+    def _row_integral(self, j):
+        return self.cond_cdf[j, -1]
 
     def sample(self, u2):
-        """u2 (..., 2) in [0,1)^2 -> (uv (..., 2) in [0,1)^2, pdf).
-
-        pdf is w.r.t. the unit square.
-        """
-        H, W = self.data.shape
+        """u2 (..., 2) in [0,1)^2 -> (uv in [0,1)^2, pdf w.r.t. uv)."""
+        H, W = self.node.shape
         total = self.marg_cdf[-1]
-        # row
+        # ---- marginal row: piecewise-quadratic CDF inversion over y
         xr = u2[..., 1] * total
-        row = jnp.clip(jnp.searchsorted(self.marg_cdf, xr, side="right"), 0, H - 1)
-        row_lo = jnp.where(row > 0, self.marg_cdf[jnp.maximum(row - 1, 0)], 0.0)
-        row_w = self.marg_cdf[row] - row_lo
-        ur = jnp.clip(m.safe_div(xr - row_lo, row_w), 0.0, 1.0 - 1e-7)
-        # column within row
-        cond = self.cond_cdf[row]                       # (..., W)
-        xc = u2[..., 0] * cond[..., -1]
-        col = jnp.clip(
-            jnp.sum((cond < xc[..., None]).astype(jnp.int32), axis=-1), 0, W - 1)
-        col_lo = jnp.where(col > 0,
-                           jnp.take_along_axis(cond, jnp.maximum(col - 1, 0)[..., None], -1)[..., 0],
-                           0.0)
-        col_hi = jnp.take_along_axis(cond, col[..., None], -1)[..., 0]
-        col_w = col_hi - col_lo
-        uc = jnp.clip(m.safe_div(xc - col_lo, col_w), 0.0, 1.0 - 1e-7)
+        j = jnp.clip(jnp.searchsorted(self.marg_cdf, xr, side="right"),
+                     0, H - 2)
+        lo = jnp.where(j > 0, self.marg_cdf[jnp.maximum(j - 1, 0)], 0.0)
+        r0 = self._row_integral(j)
+        r1 = self._row_integral(j + 1)
+        fy = _invert_linear_cdf(r0, r1, xr - lo)
+        r_fy = m.lerp(r0, r1, fy)
 
-        uv = jnp.stack([(col + uc) / W, (row + ur) / H], axis=-1)
-        w = self.data[row, col]
-        pdf = m.safe_div(w, total) * (H * W)
-        return uv, pdf
+        # ---- conditional column: binary search on the lerped row CDFs
+        xc = u2[..., 0] * r_fy
+        cc = self.cond_cdf.reshape(-1)
+        base0 = j * (W - 1)
+        base1 = (j + 1) * (W - 1)
+
+        def cdf_at(k):
+            """Lerped conditional CDF up to node k+1 (k in [0, W-2])."""
+            return m.lerp(cc[base0 + k], cc[base1 + k], fy)
+
+        k = jnp.zeros_like(j)
+        step = 1 << (self._n_steps - 1)
+        for _ in range(self._n_steps):
+            probe = k + step
+            ok = (probe <= W - 2) & (cdf_at(probe - 1) < xc)
+            k = jnp.where(ok, probe, k)
+            step >>= 1
+        k = jnp.clip(k, 0, W - 2)
+        clo = jnp.where(k > 0, cdf_at(jnp.maximum(k - 1, 0)), 0.0)
+
+        nd = self.node
+        a = m.lerp(nd[j, k], nd[j + 1, k], fy)
+        b = m.lerp(nd[j, k + 1], nd[j + 1, k + 1], fy)
+        fx = _invert_linear_cdf(a, b, xc - clo)
+
+        uv = jnp.stack([(k + fx) / (W - 1), (j + fy) / (H - 1)], axis=-1)
+        dens = m.lerp(a, b, fx)
+        pdf = m.safe_div(dens, total) * ((W - 1) * (H - 1))
+        return jnp.clip(uv, 0.0, 1.0 - 1e-7), pdf
+
+    def eval(self, uv):
+        """Bilinear interpolant at uv (unnormalized node units)."""
+        H, W = self.node.shape
+        x = jnp.clip(uv[..., 0], 0.0, 1.0) * (W - 1)
+        y = jnp.clip(uv[..., 1], 0.0, 1.0) * (H - 1)
+        k = jnp.clip(x.astype(jnp.int32), 0, W - 2)
+        j = jnp.clip(y.astype(jnp.int32), 0, H - 2)
+        fx = x - k
+        fy = y - j
+        nd = self.node
+        return m.lerp(m.lerp(nd[j, k], nd[j, k + 1], fx),
+                      m.lerp(nd[j + 1, k], nd[j + 1, k + 1], fx), fy)
 
     def pdf(self, uv):
-        H, W = self.data.shape
-        col = jnp.clip((uv[..., 0] * W).astype(jnp.int32), 0, W - 1)
-        row = jnp.clip((uv[..., 1] * H).astype(jnp.int32), 0, H - 1)
-        total = self.marg_cdf[-1]
-        return m.safe_div(self.data[row, col], total) * (H * W)
+        H, W = self.node.shape
+        return m.safe_div(self.eval(uv), self.marg_cdf[-1]) \
+            * ((W - 1) * (H - 1))

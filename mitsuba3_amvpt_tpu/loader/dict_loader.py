@@ -856,6 +856,8 @@ class _Builder:
                 img = read_image(spec["filename"])
             row["tex"] = self.add_texture_image(img)
             row["radiance"] = np.full(3, float(spec.get("scale", 1.0)))
+            row["mis_compensation"] = bool(spec.get("mis_compensation",
+                                                    False))
         elif t in ("directional", "directionalarea"):
             row["e_type"] = E_DIRECTIONAL
             row["radiance"] = _spectrum3(spec.get("irradiance", 1.0))
@@ -1279,9 +1281,22 @@ class _Builder:
             img = self.textures[rows[env_idx]["tex"]]
             lum = (0.2126 * img[..., 0] + 0.7152 * img[..., 1]
                    + 0.0722 * img[..., 2]).astype(np.float32)
+            # MIS compensation (Karlik et al. 2019): subtract the mean
+            # luminance so flat backgrounds are not oversampled; skipped
+            # when the map is nearly constant (envmap.cpp:160-184,
+            # default-off `mis_compensation` prop as in the reference)
+            if rows[env_idx].get("mis_compensation"):
+                off = float(lum.mean())
+                if off - float(lum.min()) > 0.01 * off:
+                    lum = np.maximum(lum - off, 0.0)
+            # rows are bilinear NODES spanning theta in [0, pi]
+            # inclusive (envmap.cpp:157 theta_scale = pi/(H-1)); the
+            # sin(theta) factor vanishes at the poles by construction
             h = lum.shape[0]
-            theta = (np.arange(h) + 0.5) / h * np.pi
+            theta = np.arange(h) / max(h - 1, 1) * np.pi
             lum = lum * np.sin(theta)[:, None]
+            # wrap column for periodic phi
+            lum = np.concatenate([lum, lum[:, :1]], axis=1)
             env_warp = Marginal2D.from_data(np.maximum(lum, 1e-8))
 
         def col(k, dt=np.float32):

@@ -290,6 +290,20 @@ def ray_triangles_streamed(o, d, maxt, tri_soa16, tile_aabb,
     """
     n = o.shape[0]
     pad = (-n) % RAY_BLOCK
+    # Clamp maxt to the scene-bbox exit distance: a miss lane with
+    # maxt=inf would otherwise pin the kernel's early-termination bound
+    # (interest_bound) at infinity and force every block to drain its
+    # whole admitted tile list (measured 250x slowdown on diffuse-bounce
+    # wavefronts, where ~0.5% of rays miss).  No hit can lie beyond the
+    # bbox, so this is exact.
+    glo = jnp.min(tile_aabb[0:3], axis=1)
+    ghi = jnp.max(tile_aabb[3:6], axis=1)
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                          jnp.where(d < 0, -1e-20, 1e-20), d)
+    t0b = (glo[None] - o) * inv
+    t1b = (ghi[None] - o) * inv
+    t_exit = jnp.min(jnp.maximum(t0b, t1b), axis=-1)
+    maxt = jnp.minimum(maxt, jnp.maximum(t_exit, 0.0) * 1.0001 + 1e-4)
     rays = jnp.concatenate([o.T, d.T, maxt[None],
                             jnp.zeros((1, n), o.dtype)], axis=0)
     if pad:
@@ -376,3 +390,69 @@ def tile_bounds16(p0, p1, p2):
     lo = lo.reshape(n_tiles, TILE, 3).min(1)
     hi = hi.reshape(n_tiles, TILE, 3).max(1)
     return jnp.concatenate([lo.T, hi.T], axis=0).astype(jnp.float32)
+
+
+def first_tile_key(o, d, maxt, tile_aabb):
+    """Nearest-admitted-tile id per ray (-1 if none) for ray binning.
+
+    One dense two-level pass (supertiles of 32 tiles, then the winning
+    supertile's tiles via a single row gather): the first round of the
+    binned tracer's front-to-back selection (ops/binned_trace.py), used
+    as the leading sort key for the streamed tracer.  Blocks of rays
+    that share their first tile share their whole near-field tile
+    neighborhood, which collapses the block-union the cull admits —
+    direction-octant keys alone leave diffuse-bounce unions at ~half
+    the scene (measured, scripts/count_admission.py).
+
+    maxt should already be bbox-exit clamped.  Rays with NO admitted
+    tile provably hit nothing (their segment misses every tile box).
+    """
+    n = o.shape[0]
+    n_tiles = tile_aabb.shape[1]
+    nsup = -(-n_tiles // 32)
+    pad = nsup * 32 - n_tiles
+    ta = tile_aabb
+    if pad:
+        filler = jnp.concatenate([jnp.full((3, pad), _BIG),
+                                  jnp.full((3, pad), -_BIG)], axis=0)
+        ta = jnp.concatenate([ta, filler], axis=1)
+    tlo = ta[0:3].T.reshape(nsup, 32, 3)
+    thi = ta[3:6].T.reshape(nsup, 32, 3)
+    slo = tlo.min(1)
+    shi = thi.max(1)
+    rows = jnp.concatenate([tlo, thi], axis=2).reshape(nsup, 32 * 6)
+
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                          jnp.where(d < 0, -1e-20, 1e-20), d)
+    o3 = o[:, None, :]
+    inv3 = inv[:, None, :]
+
+    def slab(lo, hi):
+        t0 = (lo - o3) * inv3
+        t1 = (hi - o3) * inv3
+        tn = jnp.maximum(jnp.max(jnp.minimum(t0, t1), -1), 0.0)
+        tf = jnp.min(jnp.maximum(t0, t1), -1)
+        return tn, (tf >= tn) & (tn < maxt[:, None])
+
+    def lex_min(t, ids, valid):
+        tv = jnp.where(valid, t, _BIG)
+        tmin = jnp.min(tv, -1)
+        imin = jnp.min(jnp.where(valid & (tv <= tmin[:, None]), ids,
+                                 jnp.int32(2**30)), -1)
+        return tmin, imin, tmin < _BIG * 0.5
+
+    sup_ids = jnp.arange(nsup, dtype=jnp.int32)[None]
+    tns, hs = slab(slo[None], shi[None])
+    _, si, s_ok = lex_min(tns, jnp.broadcast_to(sup_ids, tns.shape), hs)
+
+    r = rows[jnp.maximum(si, 0)].reshape(n, 32, 6)
+    tnt, ht = slab(r[:, :, 0:3], r[:, :, 3:6])
+    tids = jnp.arange(32, dtype=jnp.int32)[None]
+    _, ti, t_ok = lex_min(tnt, jnp.broadcast_to(tids, tnt.shape), ht)
+    gid = jnp.maximum(si, 0) * 32 + ti
+    # -1 (provable miss) ONLY when no supertile is admitted at all; a
+    # nearest super whose own tiles all miss still bins by that super
+    # (a later super may hold the hit — zeroing maxt there would be
+    # wrong, it cost 40% of bounce hits before this guard)
+    gid = jnp.where(t_ok, gid, jnp.maximum(si, 0) * 32)
+    return jnp.where(s_ok, jnp.minimum(gid, n_tiles - 1), -1)

@@ -121,6 +121,28 @@ class EmitterTable:
         return self.e_type.shape[0]
 
 
+def envmap_dir_to_uv(d_local):
+    """Mitsuba envmap parametrization (envmap.cpp Emitter::eval):
+    u = atan2(d.x, -d.z) / 2pi (wrapped), v = acos(d.y) / pi — the
+    polar axis is local +y, u=0 faces -z.  Returns (uv, sin_theta)."""
+    phi = jnp.arctan2(d_local[..., 0], -d_local[..., 2])
+    u = phi * warp.INV_TWOPI
+    u = jnp.where(u < 0.0, u + 1.0, u)
+    cy = jnp.clip(d_local[..., 1], -1.0, 1.0)
+    v = m.safe_acos(cy) * warp.INV_PI
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cy * cy, 0.0))
+    return jnp.stack([u, v], -1), sin_t
+
+
+def envmap_uv_to_dir(uv):
+    """Inverse of envmap_dir_to_uv.  Returns (d_local, sin_theta)."""
+    theta = uv[..., 1] * jnp.pi
+    phi = uv[..., 0] * 2.0 * jnp.pi
+    st, ct = jnp.sin(theta), jnp.cos(theta)
+    d = m.vec(st * jnp.sin(phi), ct, -st * jnp.cos(phi))
+    return d, st
+
+
 @struct.dataclass
 class Scene:
     geom: GeometryArrays
@@ -433,9 +455,9 @@ class Scene:
         e = em.env_index
         rad = jnp.broadcast_to(em.radiance[e], d.shape[:-1] + (3,))
         # envmap: equirect lookup in emitter-local frame
+        # (envmap.cpp eval: u = atan2(x, -z)/2pi, v = acos(y)/pi)
         d_local = m.transform_vector(em.to_world_inv[e], d)
-        theta, phi = m.dir_to_sph(m.normalize(d_local))
-        uv = jnp.stack([phi * warp.INV_TWOPI, theta * warp.INV_PI], -1)
+        uv, _ = envmap_dir_to_uv(m.normalize(d_local))
         tex_id = em.tex[e]
         from .texture import eval_spectrum_or_texture
         val = eval_spectrum_or_texture(
@@ -491,10 +513,9 @@ class Scene:
         # NOTE(loader): env/const entry is appended last in the ls table.
         if E_ENVMAP in em.types_present:
             d_local = m.transform_vector(em.to_world_inv[e], d)
-            theta, phi = m.dir_to_sph(m.normalize(d_local))
-            uv = jnp.stack([phi * warp.INV_TWOPI, theta * warp.INV_PI], -1)
+            uv, sin_t = envmap_dir_to_uv(m.normalize(d_local))
             pdf_uv = em.env_warp.pdf(uv)
-            sin_t = jnp.maximum(jnp.sin(theta), 1e-8)
+            sin_t = jnp.maximum(sin_t, 1e-8)
             return entry_p * pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
         return entry_p * warp.INV_FOURPI
 
@@ -696,13 +717,11 @@ class Scene:
             mask = (etype == E_CONSTANT) | (etype == E_ENVMAP)
             if E_ENVMAP in types:
                 uv_s, pdf_uv = em.env_warp.sample(u_pt)
-                theta = uv_s[..., 1] * jnp.pi
-                phi = uv_s[..., 0] * 2.0 * jnp.pi
-                d_local = m.sph_to_dir(theta, phi)
+                d_local, sin_t = envmap_uv_to_dir(uv_s)
                 # a scene has one environment emitter: static index
                 ei = em.env_index
                 d = m.normalize(m.transform_vector(em.to_world[ei], d_local))
-                sin_t = jnp.maximum(jnp.sin(theta), 1e-8)
+                sin_t = jnp.maximum(sin_t, 1e-8)
                 pdf_dir = pdf_uv / (2.0 * jnp.pi * jnp.pi * sin_t)
                 rad = self.textures.eval_bilinear(
                     jnp.broadcast_to(jnp.maximum(em.tex[ei], 0), (n,)),

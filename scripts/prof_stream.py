@@ -11,6 +11,7 @@ Usage: python scripts/prof_stream.py [n_tris] [wf_log2] [cfgs...]
 
 import os
 import sys
+import functools
 import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -85,11 +86,30 @@ def main():
 
     inf = jnp.full((n,), jnp.inf)
 
+    tb_sort = None
+    if os.environ.get("FTSORT"):
+        tb_sort = st.tile_bounds16(jnp.asarray(p0), jnp.asarray(p1),
+                                   jnp.asarray(p2))
+
     def sortrays(o, d, maxt):
         o = jnp.asarray(o)
         d = jnp.asarray(d)
-        keys = _ray_sort_keys(o, d, jnp.asarray(lo.min(0)),
-                              jnp.asarray(hi.max(0)))
+        glo = jnp.asarray(lo.min(0))
+        ghi = jnp.asarray(hi.max(0))
+        keys = _ray_sort_keys(o, d, glo, ghi)
+        if tb_sort is not None:
+            from mitsuba3_amvpt_tpu.ops.stream_trace import first_tile_key
+            inv_d = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
+                                    jnp.where(d < 0, -1e-20, 1e-20), d)
+            t_exit = jnp.min(jnp.maximum((glo[None] - o) * inv_d,
+                                         (ghi[None] - o) * inv_d), -1)
+            maxt_c = jnp.minimum(maxt, jnp.maximum(t_exit, 0.0)
+                                 * 1.0001 + 1e-4)
+            ft = first_tile_key(o, d, maxt_c, tb_sort)
+            maxt = jnp.where(ft < 0, 0.0, maxt)
+            ftb = int(tb_sort.shape[1] + 1).bit_length()
+            keys = ((ft + 1).astype(jnp.uint32) << (32 - ftb)) \
+                | (keys >> ftb)
         perm = jnp.argsort(keys)
         return o[perm], d[perm], maxt[perm]
 
@@ -100,6 +120,35 @@ def main():
     }
     for k in sets:
         jax.block_until_ready(sets[k][0])
+
+    if os.environ.get("BINNED"):
+        from mitsuba3_amvpt_tpu.ops import binned_trace as bt
+        soa, ta, sa, trows = bt.pack_binned(jnp.asarray(p0),
+                                            jnp.asarray(p1),
+                                            jnp.asarray(p2))
+        jax.block_until_ready(soa)
+        print(f"--- binned TILE={bt.TILE} SUPER={bt.SUPER} "
+              f"tiles={ta.shape[1]} supers={sa.shape[1]}", flush=True)
+        for name, (o, d, maxt) in sets.items():
+            ah = name == "shadow"
+            f2 = jax.jit(functools.partial(bt.ray_triangles_binned,
+                                           any_hit=ah))
+            t0 = time.time()
+            t = f2(o, d, maxt, soa, ta, sa, trows)[0]
+            jax.block_until_ready(t)
+            tc = time.time() - t0
+            ts = []
+            for i in range(3):
+                t0 = time.time()
+                jax.block_until_ready(
+                    f2(o + 1e-4 * (i + 1), d, maxt, soa, ta, sa, trows)[0])
+                ts.append(time.time() - t0)
+            dt = min(ts)
+            hit = float(jnp.mean(jnp.isfinite(t)))
+            print(f"  {name:8s} {n/dt/1e6:8.2f} Mrays/s "
+                  f"({dt*1e3:7.1f} ms, compile {tc:.0f}s, hit {hit:.3f})",
+                  flush=True)
+        return
 
     for rb, tile, ng in cfgs:
         st.RAY_BLOCK, st.TILE, st.NG = rb, tile, ng
@@ -112,16 +161,18 @@ def main():
               f"tiles={soa.shape[1]//tile}", flush=True)
         for name, (o, d, maxt) in sets.items():
             ah = name == "shadow"
-            f2 = jax.jit(lambda o, d, m, ah=ah: st.ray_triangles_streamed(
-                o, d, m, soa, tb, any_hit=ah))
+            f2 = jax.jit(
+                lambda o, d, m, soa, tb, ah=ah: st.ray_triangles_streamed(
+                    o, d, m, soa, tb, any_hit=ah))
             t0 = time.time()
-            t = f2(o, d, maxt)[0]
+            t = f2(o, d, maxt, soa, tb)[0]
             jax.block_until_ready(t)
             tc = time.time() - t0
             ts = []
             for i in range(3):
                 t0 = time.time()
-                jax.block_until_ready(f2(o + 1e-4 * (i + 1), d, maxt)[0])
+                jax.block_until_ready(
+                    f2(o + 1e-4 * (i + 1), d, maxt, soa, tb)[0])
                 ts.append(time.time() - t0)
             dt = min(ts)
             hit = float(jnp.mean(jnp.isfinite(t) if not ah else (t == 0.0)))
