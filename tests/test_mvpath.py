@@ -94,3 +94,68 @@ class TestMVPath:
         assert np.isfinite(img).all()
         ref = np.asarray(mt.render(sc, spp=64, max_depth=3, seed=2))
         assert abs(img.mean() / ref.mean() - 1.0) < 0.06
+
+
+class TestExactTvPdf:
+    """fast_mis=False routes camera selection through the evaluated
+    TV-distance (tv_pdf_exact, mvpath.h:276-293 — the reference's
+    default path)."""
+
+    def _principled_scene(self, views=4, res=20):
+        d = scenes.cornell_box(res=res)
+        # non-GGX-proxy material everywhere: principled with moderate
+        # roughness + specular, where the half-vector-cos^2 proxy and
+        # the evaluated pdf ratio genuinely differ
+        d["white"] = {"type": "principled", "base_color": [0.7, 0.6, 0.5],
+                      "roughness": 0.35, "specular": 0.8, "metallic": 0.3}
+        d["sensor"] = {
+            "type": "grid", "grid": [views, 1], "mode": "cone",
+            "fov": 39.3077, "focus_distance": 3.9, "cone_deg": 30.0,
+            "to_world": {"lookat": {"origin": [0, 0, 3.9],
+                                    "target": [0, 0, 0],
+                                    "up": [0, 1, 0]}},
+            "film": {"type": "hdrfilm", "width": res * views,
+                     "height": res, "rfilter": {"type": "box"}}}
+        return mt.load_dict(d)
+
+    def test_exact_unbiased_vs_fast(self):
+        """Selection probabilities shape variance, never the mean."""
+        sc = self._principled_scene()
+        seeds = range(4)
+        fa = np.stack([np.asarray(render_mvpath(sc, spp=32, max_depth=3,
+                                                seed=s, fast_mis=True))
+                       for s in seeds])
+        ex = np.stack([np.asarray(render_mvpath(sc, spp=32, max_depth=3,
+                                                seed=s, fast_mis=False))
+                       for s in seeds])
+        assert np.isfinite(ex).all()
+        assert abs(fa.mean() - ex.mean()) / fa.mean() < 0.04, \
+            (fa.mean(), ex.mean())
+
+    def test_exact_changes_selection_on_glossy(self):
+        """Same seed: the exact TV pdf accepts/rejects different
+        secondary views on a glossy material -> different sample paths
+        (images differ), while on a pure-diffuse scene both modes force
+        pdf_Mat = 1 and the renders are bit-identical."""
+        sc = self._principled_scene()
+        a = np.asarray(render_mvpath(sc, spp=8, max_depth=3, seed=5,
+                                     fast_mis=True))
+        b = np.asarray(render_mvpath(sc, spp=8, max_depth=3, seed=5,
+                                     fast_mis=False))
+        assert not np.array_equal(a, b)
+
+        d = scenes.cornell_box(res=20)
+        d["sensor"] = {
+            "type": "grid", "grid": [4, 1], "mode": "cone",
+            "fov": 39.3077, "focus_distance": 3.9,
+            "to_world": {"lookat": {"origin": [0, 0, 3.9],
+                                    "target": [0, 0, 0],
+                                    "up": [0, 1, 0]}},
+            "film": {"type": "hdrfilm", "width": 80, "height": 20,
+                     "rfilter": {"type": "box"}}}
+        scd = mt.load_dict(d)
+        da = np.asarray(render_mvpath(scd, spp=8, max_depth=3, seed=5,
+                                      fast_mis=True))
+        db = np.asarray(render_mvpath(scd, spp=8, max_depth=3, seed=5,
+                                      fast_mis=False))
+        assert np.array_equal(da, db)
