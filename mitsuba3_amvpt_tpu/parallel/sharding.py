@@ -103,3 +103,119 @@ def render_sharded(scene, mesh: Mesh, spp: int = 16, seed: int = 0,
         done += sp
         i += 1
     return acc if raw else film_develop(acc)
+
+
+# ---------------------------------------------------------------------------
+# AMVPT view-axis sharding: 2D (views, rays) mesh
+# ---------------------------------------------------------------------------
+
+def make_mesh2d(n_views_axis: int, devices=None,
+                axis_names=("views", "rays")) -> Mesh:
+    """2D mesh: leading axis shards AMVPT view blocks, trailing axis
+    shards rays within a view block (SURVEY §2.8 TPU-native plan:
+    "views = leading shard axis; reuse group = local per-shard")."""
+    import numpy as np
+    if devices is None:
+        devices = jax.devices()
+    devices = np.asarray(devices)
+    assert devices.size % n_views_axis == 0
+    return Mesh(devices.reshape(n_views_axis, -1), axis_names)
+
+
+def _mvpath_shard_body(scene, seed, spp_pass, S, n_vdev, n_rdev,
+                       max_depth, rr_depth, sa_mis, fast_mis,
+                       vaxis, raxis):
+    """Per-device body: render this device's (view block, ray slice) of
+    the quilt wavefront with the batched AMVPT estimator, splat into a
+    full-quilt local film, psum over both axes."""
+    from ..render.integrators.mvpath import _sample_multi
+    sensor = scene.sensor
+    N = sensor.n_sensors
+    vw, vh = sensor.resolution
+    vb = N // n_vdev                      # views per view-shard
+    lanes_view = vw * vh * spp_pass       # lanes per view
+    lanes_dev = vb * lanes_view // n_rdev
+
+    vi = jax.lax.axis_index(vaxis)
+    ri = jax.lax.axis_index(raxis)
+    # global lane ids are VIEW-MAJOR so reuse groups (S consecutive
+    # views) stay inside one view-shard; sampler keyed on the global
+    # lane id => image independent of the mesh shape
+    l0 = (vi * vb * lanes_view + ri * lanes_dev).astype(jnp.uint32)
+    gl = l0 + jnp.arange(lanes_dev, dtype=jnp.uint32)
+    sampler = Sampler.seed(seed, lane=gl)
+
+    view = (gl // lanes_view).astype(jnp.int32)
+    rem = gl % lanes_view
+    pixel = (rem // jnp.maximum(spp_pass, 1)).astype(jnp.int32)
+    px = (pixel % vw).astype(jnp.float32)
+    py = (pixel // vw).astype(jnp.float32)
+    u_pos, sampler = sampler.next_2d()
+    origin = sensor.quilt_tile_origin(view).astype(jnp.float32)
+    pos = origin + jnp.stack([px, py], -1) + u_pos
+    uv = (jnp.stack([px, py], -1) + u_pos) \
+        / jnp.array([vw, vh], jnp.float32)
+    u_lens, sampler = sampler.next_2d()
+    ray, rweight = sensor.sample_ray(view, uv, u_lens)
+
+    splats, sampler, _ = _sample_multi(
+        scene, ray, pos, view, sampler, S, max_depth, rr_depth, sa_mis,
+        u_lens, fast_mis=fast_mis)
+
+    acc = film_prepare(scene.film)
+    for spos, val, fw, sactive in splats:
+        acc = film_put(scene.film, acc, spos, val, weight=fw,
+                       active=sactive)
+    return jax.lax.psum(jax.lax.psum(acc, raxis), vaxis)
+
+
+def render_mvpath_sharded(scene, mesh: Mesh, spp: int = 16, seed: int = 0,
+                          max_depth: int = 6, rr_depth: int = 5,
+                          reuse_count: int = 0, sa_mis: bool = True,
+                          fast_mis: bool = True, raw: bool = False):
+    """AMVPT multi-view render over a 2D (views, rays) mesh.
+
+    The quilt's views shard over the leading mesh axis (reuse groups —
+    the unit of AMVPT sample sharing — are S consecutive views and
+    never cross a shard), rays/pixels over the trailing axis.  Lane ids
+    are global, so the image is bit-identical for any mesh shape
+    including (1, 1) — tested on the virtual CPU mesh.
+
+    Requires n_views % n_vdev == 0.  Reuse groups MAY span view-shards:
+    the batched estimator is lane-local (each lane reprojects its own
+    sample into all S group cameras and splats into its local full-quilt
+    film; the psum merges) — sharding affects splat locality, not
+    correctness.
+    """
+    from ..render.integrators.mvpath import reuse_group_size
+    vaxis, raxis = mesh.axis_names
+    n_vdev, n_rdev = mesh.devices.shape
+    sensor = scene.sensor
+    N = sensor.n_sensors
+    S = reuse_group_size(N, reuse_count) if N > 1 else 1
+    assert N % n_vdev == 0, \
+        f"views ({N}) must divide across view-shards ({n_vdev})"
+    vw, vh = sensor.resolution
+    spp_pass = max(1, min(spp, (n_rdev * n_vdev << 21)
+                          // max(vw * vh * N * S, 1)))
+
+    @functools.partial(jax.jit, static_argnames=("spp_pass",))
+    def one_pass(scene_in, seed_in, spp_pass):
+        body = functools.partial(
+            _mvpath_shard_body, spp_pass=spp_pass, S=S, n_vdev=n_vdev,
+            n_rdev=n_rdev, max_depth=max_depth, rr_depth=rr_depth,
+            sa_mis=sa_mis, fast_mis=fast_mis, vaxis=vaxis, raxis=raxis)
+        return shard_map(body, mesh=mesh, in_specs=(P(), P()),
+                         out_specs=P(), check_vma=False)(scene_in,
+                                                         seed_in)
+
+    acc = film_prepare(scene.film)
+    done, i = 0, 0
+    while done < spp:
+        sp = min(spp_pass, spp - done)
+        while (vw * vh * sp) % n_rdev != 0:
+            sp += 1
+        acc = acc + one_pass(scene, jnp.uint32(seed + sp * i + done), sp)
+        done += sp
+        i += 1
+    return acc if raw else film_develop(acc)
