@@ -11,7 +11,6 @@ from mitsuba3_amvpt_tpu.parallel.sharding import (make_mesh2d,
 from mitsuba3_amvpt_tpu.render.integrators.mvpath import render_mvpath
 from mitsuba3_amvpt_tpu.utils import scenes
 
-pytestmark = pytest.mark.smoke
 
 
 @pytest.fixture(scope="module")
@@ -29,6 +28,7 @@ def scene():
     return mt.load_dict(d)
 
 
+@pytest.mark.smoke
 def test_mesh_shape_invariance(scene):
     """(1,1) == (2,4) == (4,2): lanes are globally indexed, so the
     mesh factorization must not change a single sample."""

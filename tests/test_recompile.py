@@ -31,10 +31,10 @@ def test_render_seed_change_no_recompile(scene):
         for seed in (1, 2, 3):
             jax.block_until_ready(
                 mt.render(scene, spp=2, max_depth=3, seed=seed))
-    assert compiles.count == 0, \
-        f"{compiles.count} recompiles on seed-only change"
-    assert traces.count == 0, \
-        f"{traces.count} retraces on seed-only change"
+    assert compiles() == 0, \
+        f"{compiles()} recompiles on seed-only change"
+    assert traces() == 0, \
+        f"{traces()} retraces on seed-only change"
 
 
 def test_render_param_value_change_no_recompile(scene):
@@ -51,8 +51,8 @@ def test_render_param_value_change_no_recompile(scene):
     with jtu.count_jit_compilation_cache_miss() as compiles:
         jax.block_until_ready(go(0.5, 1))
         jax.block_until_ready(go(0.25, 2))
-    assert compiles.count == 0, \
-        f"{compiles.count} recompiles on param-value change"
+    assert compiles() == 0, \
+        f"{compiles()} recompiles on param-value change"
 
 
 def test_prb_grad_no_recompile(scene):
@@ -69,8 +69,8 @@ def test_prb_grad_no_recompile(scene):
     with jtu.count_jit_compilation_cache_miss() as compiles:
         jax.block_until_ready(g(0.9, 1))
         jax.block_until_ready(g(0.8, 2))
-    assert compiles.count == 0, \
-        f"{compiles.count} recompiles in PRB grad steps"
+    assert compiles() == 0, \
+        f"{compiles()} recompiles in PRB grad steps"
 
 
 def test_multi_pass_single_program(scene):
@@ -82,4 +82,4 @@ def test_multi_pass_single_program(scene):
     with jtu.count_jit_compilation_cache_miss() as compiles:
         jax.block_until_ready(
             mt.render(scene, spp=4, spp_per_pass=1, seed=5))
-    assert compiles.count == 0
+    assert compiles() == 0

@@ -10,7 +10,6 @@ import pytest
 
 import mitsuba3_amvpt_tpu as mt
 
-pytestmark = pytest.mark.smoke
 
 
 def fog_scene(sigma_t, albedo=0.0, radiance=2.0, res=16):
@@ -69,6 +68,7 @@ def render_mean_var(scene, integrator, n_seeds=6, spp=32, depth=6):
     return a.mean(0), a.var(0).mean(-1)
 
 
+@pytest.mark.smoke
 def test_beer_lambert_chromatic():
     """Pure absorption, chromatic sigma_t: per-channel exp(-sigma_c d)
     exactly — the spectral MIS weights must reduce to the analytic
@@ -123,6 +123,7 @@ def test_spectral_variance_comparable_hetero():
         (v_mis.mean(), v_vp.mean())
 
 
+@pytest.mark.smoke
 def test_vacuum_falls_back_to_path():
     from mitsuba3_amvpt_tpu.utils import scenes
     cb = mt.load_dict(scenes.cornell_box(res=16))
