@@ -115,8 +115,31 @@ def main():
     img = frame(1)
     jax.block_until_ready(img)
     dt = time.perf_counter() - t0
-    emit("cornell_256_64spp_d6_mrays_per_s",
-         W * H * SPP * DEPTH * 2 / dt / 1e6)
+    raw = W * H * SPP * DEPTH * 2 / dt / 1e6
+    emit("cornell_256_64spp_d6_mrays_per_s", raw)
+
+    # useful-ray accounting (VERDICT round-2 #7): the raw metric bills
+    # every lane for max_depth closest+shadow traces whether or not it
+    # survived; scale by the measured live-query fraction (path.sample
+    # counts live closest-hit + live NEE queries per bounce)
+    try:
+        from mitsuba3_amvpt_tpu.core.rng import Sampler
+        from mitsuba3_amvpt_tpu.render.integrators import api as rapi
+        from mitsuba3_amvpt_tpu.render.integrators import path as rpath
+
+        @jax.jit
+        def live_fraction(scene):
+            n = W * H * spp_pass
+            sampler = Sampler.seed(jnp.uint32(0), n)
+            ray, wgt, pos, view, sampler = rapi.sample_rays(scene, sampler)
+            _, _, aovs, _ = rpath.sample(scene, ray, sampler,
+                                         max_depth=DEPTH, rr_depth=5)
+            return aovs["n_queries"] / (n * DEPTH * 2)
+
+        frac = float(live_fraction(scene))
+        emit("cornell_useful_mrays_per_s", raw * frac)
+    except Exception as e:
+        print(f"# useful-ray metric failed: {type(e).__name__}: {e}")
 
 
 if __name__ == "__main__":

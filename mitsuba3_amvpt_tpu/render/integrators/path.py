@@ -50,6 +50,11 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         prev_delta=jnp.ones((n,), bool),   # camera ray: no MIS vs NEE
         prev_p=ray.o,
         first_t=jnp.full((n,), jnp.inf),
+        # useful-ray accounting: closest-hit queries issued by LIVE
+        # lanes + live NEE shadow queries (bench honesty: raw-query
+        # Mrays/s bills every lane for max_depth*2 traces; this counts
+        # the traces that carried live paths)
+        n_queries=jnp.zeros((), jnp.float32),
         sampler=sampler,
     )
 
@@ -60,6 +65,7 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         si = scene.ray_intersect(ray_i)
         active_i = s["active"]
         valid = si.is_valid
+        s["n_queries"] = s["n_queries"] + jnp.sum(active_i)
 
         # record primary hit distance (depth AOV)
         s["first_t"] = jnp.where((it == 0) & valid, si.t, s["first_t"])
@@ -94,6 +100,7 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         w_em = jnp.where(ds.delta, 1.0, mis_weight(ds.pdf, pdf_b))
         smooth = ~bsdf_flags_delta(scene, si)
         nee_ok = active_next & smooth & (ds.pdf > 0.0)
+        s["n_queries"] = s["n_queries"] + jnp.sum(active_next & smooth)
         s["L"] = s["L"] + jnp.where(
             nee_ok[..., None],
             s["throughput"] * spec * f_nee * w_em[..., None], 0.0)
@@ -133,5 +140,5 @@ def sample(scene, ray: Ray, sampler: Sampler, max_depth: int = 6,
         return s, None
 
     state, _ = jax.lax.scan(bounce, state, jnp.arange(max_depth))
-    aovs = dict(depth=state["first_t"])
+    aovs = dict(depth=state["first_t"], n_queries=state["n_queries"])
     return state["L"], jnp.isfinite(state["first_t"]), aovs, state["sampler"]
