@@ -211,6 +211,8 @@ class _Builder:
         self.vns = []
         self.vuvs = []
         self.vtans = []          # per-vertex fiber tangents (curves)
+        self.vcols = []          # per-vertex attribute (vertex colors)
+        self.has_vcols = False
         self.has_tangents = False
         self.face_hasvn = []
         self.face_hasuv = []
@@ -263,6 +265,14 @@ class _Builder:
                     pass
             tid = self.add_texture_image(img)
             return np.ones(3), tid
+        if isinstance(v, dict) and v.get("type") == "mesh_attribute":
+            # vertex-attribute-driven texture
+            # (src/textures/mesh_attribute.cpp): barycentric-interpolated
+            # per-vertex values evaluated at the shading point; sentinel
+            # tex id -2 routes _gather_params to si.vattr.  Only the
+            # "vertex_color" attribute is materialized (the common use);
+            # `scale` multiplies like the reference prop
+            return np.full(3, float(v.get("scale", 1.0))), -2
         if isinstance(v, dict) and v.get("type") == "checkerboard":
             c0 = _spectrum3(v.get("color0", 0.4))
             c1 = _spectrum3(v.get("color1", 0.2))
@@ -756,7 +766,8 @@ class _Builder:
             self.sph_shape.append(shape_id)
             return
 
-        vt = None   # per-vertex fiber tangents (curve shapes only)
+        vt = None     # per-vertex fiber tangents (curve shapes only)
+        vcol = None   # per-vertex colors (trimesh "vertex_colors")
         if t == "rectangle":
             # flat prims: vertex normals equal the geometric normal, so
             # storing them only widens the SI gather — drop them
@@ -799,6 +810,7 @@ class _Builder:
             f = np.asarray(spec["faces"], np.int32)
             vn = spec.get("normals")
             uv = spec.get("uvs")
+            vcol = spec.get("vertex_colors")
         else:
             raise ValueError(f"unsupported shape type {t!r}")
         if spec.get("face_normals", False):
@@ -826,6 +838,9 @@ class _Builder:
         self.vtans.append(np.zeros((len(v_w), 3)) if vt is None
                           else np.asarray(vt))
         self.has_tangents |= vt is not None
+        self.vcols.append(np.zeros((len(v_w), 3)) if vcol is None
+                          else np.asarray(vcol, np.float64))
+        self.has_vcols |= vcol is not None
         self.face_hasvn.append(np.full(F, vn_w is not None))
         self.face_hasuv.append(np.full(F, uv is not None))
         self.tri_shape.append(np.full(F, shape_id, np.int32))
@@ -975,6 +990,8 @@ class _Builder:
             tri_shape = np.concatenate(self.tri_shape, 0)
             vtans = (np.concatenate(self.vtans, 0).astype(np.float32)
                      if self.has_tangents else None)
+            vcols = (np.concatenate(self.vcols, 0).astype(np.float32)
+                     if self.has_vcols else None)
         else:
             verts = np.zeros((3, 3), np.float32)
             faces = np.zeros((0, 3), np.int32)
@@ -984,6 +1001,7 @@ class _Builder:
             hasuv = np.zeros((0,), bool)
             tri_shape = np.zeros((0,), np.int32)
             vtans = None
+            vcols = None
 
         sphc = (np.asarray(self.sph_center, np.float32).reshape(-1, 3)
                 if self.sph_center else np.zeros((0, 3), np.float32))
@@ -1026,6 +1044,8 @@ class _Builder:
             bvh_prim_ids=jnp.asarray(prim_order), accel_mode=accel,
             tri_order=jnp.asarray(tri_order),
             vtangents=None if vtans is None else jnp.asarray(vtans),
+            vattrs=None if vcols is None else jnp.asarray(vcols),
+            any_vattr=vcols is not None,
             any_vn=bool(np.asarray(hasvn).any()),
             any_uv=bool(np.asarray(hasuv).any()),
             edges=jnp.asarray(_edge_table(verts, faces)))

@@ -176,6 +176,12 @@ def _gather_params(scene, si):
 
     albedo = a[:, 0:3]
     alpha = a[:, 3:5]
+    if si.vattr is not None:
+        # mesh_attribute texture (tex id sentinel -2): the interpolated
+        # per-vertex color, scaled by the constant albedo column
+        atex0 = a[:, 6].astype(jnp.int32)
+        albedo = jnp.where((atex0 == -2)[..., None], albedo * si.vattr,
+                           albedo)
     if not scene.textures.empty:
         atex = a[:, 6].astype(jnp.int32)
         albedo = jnp.where(

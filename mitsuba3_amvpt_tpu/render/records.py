@@ -64,6 +64,10 @@ class SurfaceInteraction:
     shape_index: jnp.ndarray  # (N,) index into scene.shapes tables, -1 = env
     material_index: jnp.ndarray  # (N,) index into material table
     emitter_index: jnp.ndarray   # (N,) index into emitter table, -1 = none
+    # barycentric-interpolated per-vertex attribute (mesh_attribute
+    # textures, src/textures/mesh_attribute.cpp); None when no mesh in
+    # the scene carries vertex colors
+    vattr: jnp.ndarray = None    # (N, 3) or None
 
     @property
     def is_valid(self):

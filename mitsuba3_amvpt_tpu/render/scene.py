@@ -65,10 +65,14 @@ class GeometryArrays:
     # frame aligns sh_t with the fiber axis (hair BSDF convention,
     # src/bsdfs/hair.cpp:566-589)
     vtangents: jnp.ndarray = None  # (V, 3) or None
+    # per-vertex attribute values for mesh_attribute textures
+    # (src/textures/mesh_attribute.cpp "vertex_color"); None if unused
+    vattrs: jnp.ndarray = None     # (V, 3) or None
     # static attribute-presence flags: the SI reconstruction's packed
     # gather skips normal/uv columns entirely when no face uses them
     # (gather row width is the hot-loop's main HBM cost)
     any_vn: bool = struct.field(pytree_node=False, default=True)
+    any_vattr: bool = struct.field(pytree_node=False, default=False)
     any_uv: bool = struct.field(pytree_node=False, default=True)
     # unique mesh edges for silhouette sampling (ad/projective.py):
     # (E, 4) int32 [v0, v1, face_a, face_b]; face_b = -1 on open
@@ -272,6 +276,11 @@ class Scene:
                 parts += [g.vtangents[f0], g.vtangents[f1],
                           g.vtangents[f2]]
                 off_tg = off
+                off += 9
+            off_vc = -1
+            if g.any_vattr:
+                parts += [g.vattrs[f0], g.vattrs[f1], g.vattrs[f2]]
+                off_vc = off
             A = jnp.concatenate(parts, axis=1)
             a = m.take_rows(A, tri)                          # (n, C)
             p0, p1, p2 = a[:, 0:3], a[:, 3:6], a[:, 6:9]
@@ -308,6 +317,12 @@ class Scene:
                           + uv_tri[..., 1:2] * a[:, off_tg + 6:off_tg + 9])
             else:
                 tg_tri = None
+            if off_vc >= 0:
+                vc_tri = (b0[..., None] * a[:, off_vc:off_vc + 3]
+                          + uv_tri[..., 0:1] * a[:, off_vc + 3:off_vc + 6]
+                          + uv_tri[..., 1:2] * a[:, off_vc + 6:off_vc + 9])
+            else:
+                vc_tri = None
         else:
             t_tri = pi.t
             p_tri = jnp.zeros((n, 3))
@@ -317,6 +332,7 @@ class Scene:
             mat_tri = jnp.zeros((n,), jnp.int32)
             emi_tri = jnp.full((n,), -1, jnp.int32)
             tg_tri = None
+            vc_tri = None
 
         # ---- spheres (same single-gather pack)
         S = g.sph_center.shape[0]
@@ -427,7 +443,9 @@ class Scene:
             t=jnp.where(valid, t, jnp.inf),
             p=p, n=ng, sh_n=ns, sh_s=s, sh_t=tb, uv=uv, wi=wi,
             prim_index=jnp.where(valid, pi.prim_index, -1),
-            shape_index=shape_idx, material_index=mat, emitter_index=emi)
+            shape_index=shape_idx, material_index=mat, emitter_index=emi,
+            vattr=(jnp.where(is_tri[..., None], vc_tri, 0.0)
+                   if vc_tri is not None else None))
 
     # ---------------- emitters ----------------
 
