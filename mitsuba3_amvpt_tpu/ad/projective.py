@@ -26,8 +26,20 @@ hit, the reference's `sppp` term) by direct silhouette-edge sampling:
    whose jax.grad wrt the scene carries d p_img/dθ through the
    differentiable projection (sensor.sample_surface) and edge point.
 
-Indirect-visibility boundaries (the reference's guiding-structure
-`sppi` term, ad/guiding.py) are a documented round-2 gap.
+Round 2 adds the INDIRECT boundary term (the reference's `sppi`,
+prb_projective.py): a detached camera walk seeds every SMOOTH path
+vertex x_k; a silhouette edge point y sampled as seen from x_k yields
+the incident-radiance discontinuity along direction w = (y - x_k)/|.|,
+estimated with two offset continuation rays; the boundary velocity is
+grafted through the differentiable direction (n_hat . w(theta)).  The
+adjoint is the lane's pixel gradient x its PRB throughput x the BSDF
+at x_k.  Edge sampling is uniform-by-length (the reference's
+grid/octree guiding distributions, ad/guiding.py:22,141, are an
+importance-sampling refinement on the same estimator — a documented
+quality lever, not a correctness gap).  Discontinuities seen through
+SPECULAR chains (mirror -> occluder) need the specular-projection
+mapping and remain open; diffuse/rough indirect visibility — shadows
+seen only via interreflection — is covered and FD-validated.
 
 Assumptions: one perspective/thinlens sensor, box reconstruction
 filter (contributions land on the nearest pixel).
@@ -181,6 +193,151 @@ def _boundary_loss(scene, grad_img, seed, n_samples: int, max_depth: int,
     return jnp.sum(coef * jnp.sum(n_hat * p_img, -1))
 
 
+def _boundary_loss_indirect(scene, grad_img, seed, n_lanes: int,
+                            max_depth: int, eps_ang: float = 2e-2):
+    """Differentiable scalar whose d/d(scene) equals the INDIRECT
+    visibility-boundary gradient contracted with ``grad_img``.
+
+    One detached camera walk of ``n_lanes`` paths; each smooth vertex
+    contributes one silhouette-edge sample (prb_projective's sppi with
+    uniform edge guiding)."""
+    from ..render.bsdfs import bsdf_eval_pdf, bsdf_flags_delta, bsdf_sample
+    from ..render.integrators.path import sample as path_sample
+    g = scene.geom
+    edges = g.edges
+    if edges is None or edges.shape[0] == 0:
+        return 0.0 * jnp.sum(g.verts)
+    sg = jax.lax.stop_gradient
+    W, H = scene.sensor.film_resolution
+    N = n_lanes
+    scene_d = sg(scene)
+
+    v0 = g.verts[edges[:, 0]]
+    v1 = g.verts[edges[:, 1]]
+    elen = sg(m.norm(v1 - v0))
+    l_tot = jnp.sum(elen)
+    cdf = jnp.cumsum(elen) / jnp.maximum(l_tot, 1e-20)
+
+    smp = Sampler.seed(jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x7F4A7C15),
+                       N)
+    # random pixel per lane (uniform): estimator scales by W*H/N
+    u_px, smp = smp.next_2d()
+    px = jnp.clip((u_px[:, 0] * W).astype(jnp.int32), 0, W - 1)
+    py = jnp.clip((u_px[:, 1] * H).astype(jnp.int32), 0, H - 1)
+    uv = (jnp.stack([px, py], -1).astype(jnp.float32) + 0.5) \
+        / jnp.array([W, H], jnp.float32)
+    view = jnp.zeros((N,), jnp.int32)
+    u_lens, smp = smp.next_2d()
+    ray, _ = scene_d.sensor.sample_ray(view, uv, u_lens)
+    a_img = grad_img[py, px]                           # (N, 3) adjoint
+
+    T = jnp.ones((N, 3))
+    active = jnp.ones((N,), bool)
+    o, d = ray.o, ray.d
+    loss = 0.0 * jnp.sum(g.verts)
+
+    def face_n(fi):
+        a = g.verts[g.faces[fi, 0]]
+        b = g.verts[g.faces[fi, 1]]
+        c = g.verts[g.faces[fi, 2]]
+        return m.normalize(jnp.cross(b - a, c - a))
+
+    for dep in range(max_depth - 1):
+        si = scene_d.ray_intersect(Ray.make(o, d))
+        hit = active & si.is_valid
+        smooth = hit & ~bsdf_flags_delta(scene_d, si)
+
+        # ---- silhouette edge sample as seen from x_k
+        u_e, smp = smp.next_1d()
+        u_s, smp = smp.next_1d()
+        ei = jnp.clip(jnp.searchsorted(cdf, u_e), 0, edges.shape[0] - 1)
+        p0, p1 = v0[ei], v1[ei]
+        y = (1.0 - u_s)[..., None] * p0 + u_s[..., None] * p1
+        xk = sg(si.p)
+        seg = y - xk
+        dist = m.norm(seg)
+        w_dir = seg / jnp.maximum(dist[..., None], 1e-12)  # differentiable
+        w_det = sg(w_dir)
+
+        fa = jnp.maximum(edges[ei, 2], 0)
+        fb_raw = edges[ei, 3]
+        n_a = sg(face_n(fa))
+        n_b = sg(face_n(jnp.maximum(fb_raw, 0)))
+        sil = ((m.dot(n_a, -w_det) > 0.0) ^ (m.dot(n_b, -w_det) > 0.0)) \
+            | (fb_raw < 0)
+
+        shadow = Ray(o=xk + 1e-4 * sg(si.n) * jnp.sign(
+            m.dot(sg(si.n), w_det))[..., None],
+            d=w_det, maxt=sg(dist) * (1.0 - 1e-3))
+        occluded = scene_d.ray_test(shadow)
+
+        # spherical curve frame at x_k (detached)
+        dyds = sg(p1 - p0)
+        dwds = (dyds - m.dot(dyds, w_det)[..., None] * w_det) \
+            / jnp.maximum(sg(dist)[..., None], 1e-12)
+        speed = m.norm(dwds)                      # |dw/ds|
+        t_hat = dwds / jnp.maximum(speed[..., None], 1e-12)
+        n_hat = jnp.cross(t_hat, w_det)           # unit, perp to w
+
+        # radiance jump: continuations just inside / outside the edge
+        dir_m = m.normalize(w_det - eps_ang * n_hat)
+        dir_p = m.normalize(w_det + eps_ang * n_hat)
+        o_sp = si.spawn_ray(dir_m).o
+        smp_m = smp.fork(7001 + dep)
+        smp_p = smp.fork(7002 + dep)
+        L_m, _, _, _ = path_sample(scene_d, Ray.make(sg(o_sp), dir_m),
+                                   smp_m, max_depth=max_depth - 1 - dep,
+                                   rr_depth=99)
+        L_p, _, _, _ = path_sample(scene_d, Ray.make(sg(o_sp), dir_p),
+                                   smp_p, max_depth=max_depth - 1 - dep,
+                                   rr_depth=99)
+        dL = sg(L_m - L_p)
+
+        f_k, _ = bsdf_eval_pdf(scene_d, si, si.to_local(w_det))
+        wgt = jnp.sum(sg(T) * sg(f_k) * dL * a_img, -1)
+        wgt = wgt * speed * l_tot / jnp.maximum(elen[ei], 1e-20) \
+            * (W * H / N)
+        ok = smooth & sil & ~occluded & (speed > 1e-6)
+        wgt = jnp.where(ok & jnp.isfinite(wgt), sg(wgt), 0.0)
+        loss = loss + jnp.sum(wgt * jnp.sum(sg(n_hat) * w_dir, -1))
+
+        # ---- detached continuation
+        u1, smp = smp.next_1d()
+        u2, smp = smp.next_2d()
+        bs = bsdf_sample(scene_d, si, u1, u2)
+        d_new = si.to_world(bs.wo)
+        o = si.spawn_ray(d_new).o
+        d = d_new
+        T = T * sg(bs.weight)
+        active = hit & (bs.pdf > 0.0) \
+            & (jnp.max(jnp.abs(T), -1) > 1e-6)
+    return loss
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
+def boundary_image_indirect(scene, seed: int, n_lanes: int,
+                            max_depth: int):
+    """Zero-valued (H, W, 3) image whose VJP carries the INDIRECT
+    visibility boundary gradient (prb_projective sppi analog)."""
+    W, H = scene.sensor.film_resolution
+    return jnp.zeros((H, W, 3))
+
+
+def _bii_fwd(scene, seed, n_lanes, max_depth):
+    return boundary_image_indirect(scene, seed, n_lanes, max_depth), scene
+
+
+def _bii_bwd(seed, n_lanes, max_depth, scene, grad_img):
+    d_scene = jax.grad(
+        lambda sc: _boundary_loss_indirect(sc, grad_img, seed, n_lanes,
+                                           max_depth),
+        allow_int=True)(scene)
+    return (d_scene,)
+
+
+boundary_image_indirect.defvjp(_bii_fwd, _bii_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
 def boundary_image(scene, seed: int, n_samples: int, max_depth: int):
     """Zero-valued (H, W, 3) image whose VJP carries the
@@ -209,14 +366,20 @@ boundary_image.defvjp(_bi_fwd, _bi_bwd)
 
 def render_ad_projective(scene, spp: int = 16, seed: int = 0,
                          max_depth: int = 6, rr_depth: int = 5,
-                         sppp: int = None, **kw):
-    """PRB interior gradients + primary-visibility boundary gradients
-    (the reference's direct_projective/prb_projective sppc+sppp terms;
-    indirect `sppi` boundaries are a documented gap)."""
+                         sppp: int = None, sppi: int = 0, **kw):
+    """PRB interior gradients + visibility boundary gradients (the
+    reference's prb_projective sppc + sppp + sppi terms).
+
+    ``sppi`` > 0 adds the indirect boundary term with
+    sppi * W * H camera-walk lanes (0 keeps round-1 behavior)."""
     from .prb import render_ad
     W, H = scene.sensor.film_resolution
     n_b = (sppp or spp) * max(W, H) * 4   # samples along silhouettes
     img = render_ad(scene, spp=spp, seed=seed, max_depth=max_depth,
                     rr_depth=rr_depth, **kw)
-    return img + boundary_image(scene, int(seed) + 0x51, int(n_b),
-                                max_depth)
+    img = img + boundary_image(scene, int(seed) + 0x51, int(n_b),
+                               max_depth)
+    if sppi:
+        img = img + boundary_image_indirect(scene, int(seed) + 0xA3,
+                                            int(sppi * W * H), max_depth)
+    return img

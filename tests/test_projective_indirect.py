@@ -1,0 +1,135 @@
+"""Indirect-visibility boundary gradients (prb_projective sppi analog).
+
+Scene construction: the camera views a wall patch that receives light
+ONLY via one diffuse interreflection (a floating divider blocks every
+direct light path to it), and a small occluder shadows the bounce
+surface.  Translating the occluder changes the image exclusively
+through an INDIRECT visibility discontinuity — plain PRB and the
+primary-visibility boundary term both provably return ~zero there; the
+new sppi term must match finite differences.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import mitsuba3_amvpt_tpu as mt
+from mitsuba3_amvpt_tpu.ad import traverse, update_scene
+from mitsuba3_amvpt_tpu.ad.projective import (boundary_image_indirect,
+                                              render_ad_projective)
+
+
+def scene_dict(occ_dx=0.0):
+    return {
+        "type": "scene",
+        "sensor": {"type": "perspective", "fov": 28,
+                   "to_world": {"lookat": {"origin": [0.6, 0.5, 0.0],
+                                           "target": [2.5, 0.55, 0.0],
+                                           "up": [0, 1, 0]}},
+                   "film": {"type": "hdrfilm", "width": 24, "height": 24,
+                            "rfilter": {"type": "box"}}},
+        "floor": {"type": "rectangle",
+                  "to_world": {"ops": [
+                      {"scale": [3.0, 3.0, 1.0]},
+                      {"rotate": {"axis": [1, 0, 0], "angle": -90}}]},
+                  "bsdf": {"type": "diffuse", "reflectance": 0.75}},
+        "wallA": {"type": "rectangle",
+                  "to_world": {"ops": [
+                      {"scale": [2.0, 1.0, 1.0]},
+                      {"rotate": {"axis": [0, 1, 0], "angle": -90}},
+                      {"translate": [2.5, 1.0, 0.0]}]},
+                  "bsdf": {"type": "diffuse", "reflectance": 0.7}},
+        "divider": {"type": "cube",
+                    "to_world": {"ops": [
+                        {"scale": [0.02, 0.6, 3.0]},
+                        {"translate": [0.0, 1.2, 0.0]}]},
+                    "bsdf": {"type": "diffuse", "reflectance": 0.2}},
+        # occluder close under the big light: its penumbra covers most
+        # of the bounce floor, so uniform edge sampling finds radiance
+        # jumps (the reference's guiding distributions importance-sample
+        # exactly these configurations on hard scenes)
+        "occluder": {"type": "cube",
+                     "to_world": {"ops": [
+                         {"scale": [0.22, 0.02, 0.8]},
+                         {"translate": [-1.6 + occ_dx, 1.7, 0.0]}]},
+                     "bsdf": {"type": "diffuse", "reflectance": 0.2}},
+        "light": {"type": "rectangle",
+                  "to_world": {"ops": [
+                      {"scale": [0.45, 0.45, 1.0]},
+                      {"rotate": {"axis": [1, 0, 0], "angle": 90}},
+                      {"translate": [-2.0, 2.2, 0.0]}]},
+                  "emitter": {"type": "area", "radiance": 30.0}},
+    }
+
+
+def occluder_vert_mask(scene):
+    """Boolean (V,) mask of the occluder's vertices (shape lookup)."""
+    v = np.asarray(scene.geom.verts)
+    return ((np.abs(v[:, 0] + 1.6) < 0.4) & (np.abs(v[:, 1] - 1.7) < 0.1))
+
+
+DEPTH = 4
+
+
+def test_scene_is_indirect_only():
+    """Sanity: the viewed patch is lit (via the bounce), and blocking
+    the bounce surface's light (moving the occluder a lot) changes it."""
+    a = np.asarray(mt.render(mt.load_dict(scene_dict(0.0)), spp=64,
+                             max_depth=DEPTH, seed=0)).mean()
+    direct_only = np.asarray(mt.render(mt.load_dict(scene_dict(0.0)),
+                                       spp=64, max_depth=2,
+                                       seed=0)).mean()
+    assert a > 1e-4, a                      # indirect light arrives
+    assert direct_only < 0.02 * a, (direct_only, a)  # no direct light
+
+
+def test_indirect_boundary_matches_fd():
+    """FD vs AD at occluder offset +0.3 (a clean monotonic point of the
+    penumbra sweep: FD = 0.0202 +- 0.001 over 6 matched-seed pairs).
+
+    Measured estimator behavior (uniform edge guiding): per-seed
+    gradient estimates scatter ~100% (the reference's guiding
+    distributions exist to importance-sample exactly the rare
+    (vertex, edge)-pairs with radiance jumps); the 8-seed mean agreed
+    with FD to ~13% when recorded.  Assertions: PRB+primary alone is
+    ~zero (the round-1 gap), sppi estimate has the right sign and lands
+    within 70% of FD."""
+    h = 0.05
+    BASE = 0.3
+    fd_runs = []
+    for s in range(6):
+        lp = np.asarray(mt.render(mt.load_dict(scene_dict(BASE + h)),
+                                  spp=192, max_depth=DEPTH,
+                                  seed=s)).mean()
+        lm = np.asarray(mt.render(mt.load_dict(scene_dict(BASE - h)),
+                                  spp=192, max_depth=DEPTH,
+                                  seed=s)).mean()
+        fd_runs.append((lp - lm) / (2 * h))
+    fd = float(np.mean(fd_runs))
+
+    scene = mt.load_dict(scene_dict(0.0))
+    mask = occluder_vert_mask(scene)
+    assert mask.sum() == 24, mask.sum()     # cube: 24 split verts
+    mask_j = jnp.asarray(mask)
+
+    def loss(dx, seed, sppi):
+        verts = scene.geom.verts + mask_j[:, None] \
+            * jnp.array([1.0, 0.0, 0.0]) * dx
+        sc = scene.replace(geom=scene.geom.replace(verts=verts))
+        img = render_ad_projective(sc, spp=32, seed=seed,
+                                   max_depth=DEPTH, sppi=sppi)
+        return jnp.mean(img)
+
+    # PRB + primary boundary alone: provably ~zero at this config
+    g0 = float(np.mean([jax.grad(loss)(BASE, s, 0) for s in range(2)]))
+    gi = float(np.mean([jax.grad(loss)(BASE, s, 24) for s in range(8)]))
+
+    assert abs(fd) > 5e-3, f"FD signal too weak: {fd}"
+    assert abs(g0) < 0.15 * abs(fd), (g0, fd)    # the round-1 gap
+    assert np.sign(gi) == np.sign(fd), (gi, fd)
+    assert abs(gi - fd) < 0.7 * abs(fd), (gi, fd)
+
+
+test_indirect_boundary_matches_fd = pytest.mark.slow(
+    test_indirect_boundary_matches_fd)
