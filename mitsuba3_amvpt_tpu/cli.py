@@ -61,6 +61,10 @@ def main(argv=None):
                     help="wall-clock render budget in seconds: rendering "
                          "stops at the last finished pass")
     ap.add_argument("--spp-per-pass", type=int, default=None)
+    ap.add_argument("--interruptible", action="store_true",
+                    help="render pass-by-pass with SIGINT cancellation "
+                         "and SIGHUP partial-image dumps (reference "
+                         "m_stop + develop_callback)")
     ap.add_argument("--raw", action="store_true",
                     help="write the undeveloped accumulator")
     ap.add_argument("--quilt-gif", metavar="OUT.gif",
@@ -84,6 +88,19 @@ def main(argv=None):
     from .core.bitmap import write_image
     from .render.integrators.api import render as render_fn
 
+    # cooperative cancellation: register early so a SIGINT during scene
+    # load / first compile is caught too (the reference registers its
+    # handlers at startup, mitsuba_render.cpp:135-144)
+    _stop = {"flag": False}
+    if args.interruptible or args.timeout is not None:
+        import signal as _signal
+
+        def _early_int(signum, frame):
+            print("[cli] cancel requested: stopping at the next pass "
+                  "boundary", file=sys.stderr)
+            _stop["flag"] = True
+        _signal.signal(_signal.SIGINT, _early_int)
+
     t0 = time.time()
     scene = mt.load_file(args.scene, params=_parse_defines(args.defines))
     print(f"[cli] scene loaded in {time.time() - t0:.2f}s", file=sys.stderr)
@@ -106,24 +123,56 @@ def main(argv=None):
         from .render.integrators.spectral import render_spectral
         img = render_spectral(scene, spp=spp, seed=args.seed,
                               max_depth=args.max_depth)
-    elif args.timeout is not None:
-        # pass-by-pass with a wall-clock budget
-        # (Integrator::m_timeout, integrator.cpp:24,168-169)
+    elif args.timeout is not None or args.interruptible:
+        # cooperative pass-by-pass loop: wall-clock budget
+        # (Integrator::m_timeout, integrator.cpp:24,168-169), SIGINT
+        # cancellation (Integrator::m_stop / should_stop()) and SIGHUP
+        # partial-image dump (mitsuba_render.cpp:135-144
+        # develop_callback writing the partially developed film)
+        import signal
+
+        import jax
         import jax.numpy as jnp
+        import numpy as np
+        from .core.bitmap import write_image as _wi
         from .render.film import film_develop, film_prepare
         from .render.integrators.api import render_pass
         spp_pp = args.spp_per_pass or max(1, min(spp, 16))
         acc = film_prepare(scene.film)
+        state = {"acc": acc, "stop": False}
+
+        def _on_hup(signum, frame):
+            print("[cli] SIGHUP: writing partial image", file=sys.stderr)
+            _wi(args.output, np.asarray(film_develop(state["acc"])))
+
+        def _on_int(signum, frame):
+            print("[cli] cancel requested: stopping at the next pass "
+                  "boundary", file=sys.stderr)
+            state["stop"] = True
+
+        old_hup = None
+        if hasattr(signal, "SIGHUP"):
+            old_hup = signal.signal(signal.SIGHUP, _on_hup)
+        signal.signal(signal.SIGINT, _on_int)
+        state["stop"] = _stop["flag"]
         done = 0
-        while done < spp and (time.time() - t0) < args.timeout:
-            sp = min(spp_pp, spp - done)
-            acc = render_pass(scene, acc, jnp.uint32(args.seed + done), sp,
-                              integrator, args.max_depth, 5)
-            import jax
-            jax.block_until_ready(acc)
-            done += sp
+        try:
+            while done < spp and not state["stop"] and (
+                    args.timeout is None
+                    or (time.time() - t0) < args.timeout):
+                sp = min(spp_pp, spp - done)
+                acc = render_pass(scene, state["acc"],
+                                  jnp.uint32(args.seed + done), sp,
+                                  integrator, args.max_depth, 5)
+                jax.block_until_ready(acc)
+                state["acc"] = acc
+                done += sp
+        finally:
+            if old_hup is not None:
+                signal.signal(signal.SIGHUP, old_hup)
+            signal.signal(signal.SIGINT, signal.SIG_DFL)
         print(f"[cli] {done}/{spp} spp within budget", file=sys.stderr)
-        img = acc if args.raw else film_develop(acc)
+        img = state["acc"] if args.raw else film_develop(state["acc"])
     else:
         img = render_fn(scene, integrator=integrator, **kw)
 

@@ -80,3 +80,46 @@ def test_quilt_gif(tmp_path):
     except EOFError:
         pass
     assert n == 2 * views - 2
+
+
+def test_timeout_budget_writes_partial(tmp_path, scene_xml):
+    """-t budget: rendering stops at a pass boundary, image written
+    (integrator.cpp m_timeout analog)."""
+    out = str(tmp_path / "partial.exr")
+    rc = main([scene_xml, "-o", out, "-s", "64", "--spp-per-pass", "2",
+               "-t", "0.0001", "-d", "2", "-D", "res=16"])
+    assert rc == 0
+    img = read_exr(out)
+    assert img.shape[:2] == (16, 16)
+
+
+def test_sigint_cancels_cooperatively(tmp_path, scene_xml):
+    """SIGINT mid-render stops at the next pass boundary and still
+    writes the partial image (m_stop / should_stop analog)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _t
+    out = tmp_path / "cancelled.exr"
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    runner = ("import jax; jax.config.update('jax_platforms', 'cpu'); "
+              "import sys; from mitsuba3_amvpt_tpu.cli import main; "
+              "sys.exit(main(sys.argv[1:]))")
+    p = subprocess.Popen(
+        [sys.executable, "-c", runner, scene_xml,
+         "-o", str(out), "-s", "100000", "--spp-per-pass", "1",
+         "--interruptible", "-d", "3", "-D", "res=16"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        env=env)
+    _t.sleep(40)     # scene load + first-pass compile
+    p.send_signal(signal.SIGINT)
+    try:
+        _, err = p.communicate(timeout=240)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        raise
+    assert p.returncode == 0, err[-2000:]
+    assert "cancel requested" in err or "spp within budget" in err
+    assert out.exists()
