@@ -47,9 +47,68 @@ def rgb_basis(wl):
     return jnp.stack([r, g, b], -1) / total[..., None]
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(None)
+def _basis_correction():
+    """3x3 matrix A with round_trip(A @ rgb) == rgb exactly.
+
+    The sigmoid partition-of-unity basis is linear in rgb, so the full
+    round trip rgb -> spectrum -> CIE-integrate -> sRGB is a fixed
+    matrix M; precomposing with A = M^-1 makes the upsampling
+    color-exact for every in-gamut color (the role of the reference's
+    rgb2spec coefficient fit, src/render/srgb.cpp:14-32 — measured
+    error before this correction: mean 0.08, max 0.27 per channel).
+    Saturated colors whose corrected spectra would dip negative are
+    clamped at zero in ``upsample`` and keep a small residual error
+    (quantified in tests/test_spectral_roundtrip.py)."""
+    # pure numpy (the first call may happen inside a jit trace, where
+    # jnp intermediates would turn into tracers)
+    import numpy as np
+    wl = np.linspace(380.0, 720.0, 256)
+
+    def g(x, mu, s1, s2):
+        t = (x - mu) * np.where(x < mu, 1.0 / s1, 1.0 / s2)
+        return np.exp(-0.5 * t * t)
+
+    obs = np.stack([
+        (1.056 * g(wl, 599.8, 37.9, 31.0)
+         + 0.362 * g(wl, 442.0, 16.0, 26.7)
+         - 0.065 * g(wl, 501.1, 20.4, 26.2)),
+        (0.821 * g(wl, 568.8, 46.9, 40.5)
+         + 0.286 * g(wl, 530.9, 16.3, 31.1)),
+        (1.217 * g(wl, 437.0, 11.8, 36.0)
+         + 0.681 * g(wl, 459.0, 26.0, 13.8))], -1)   # cie1931_xyz
+    sig = lambda t: 1.0 / (1.0 + np.exp(-t))          # noqa: E731
+    r = sig((wl - 580.0) / 12.0)
+    b = sig((505.0 - wl) / 12.0)
+    gg = np.clip(1.0 - r - b, 0.0, 1.0)
+    B = np.stack([r, gg, b], -1)
+    B = B / B.sum(-1, keepdims=True)                  # rgb_basis
+    XYZ2RGB = np.array([[3.240479, -1.537150, -0.498535],
+                        [-0.969256, 1.875991, 0.041556],
+                        [0.055648, -0.204043, 1.057311]])
+    # mirror spectral_to_rgb's exact normalization: Y-normalize by the
+    # sampled (E) white, then diagonal von-Kries E -> D65
+    white = obs.mean(0)
+    white_n = white / white[1]
+    vk = np.array([0.95047, 1.0, 1.08883]) / white_n
+    M = np.zeros((3, 3))
+    for j in range(3):
+        xyz = (B[:, j:j + 1] * obs).mean(0) / white[1] * vk
+        M[:, j] = XYZ2RGB @ xyz
+    return jnp.asarray(np.linalg.inv(M), jnp.float32)
+
+
 def upsample(rgb, basis):
-    """(N, 3) rgb x (N, K, 3) basis -> (N, K) spectral values."""
-    return jnp.einsum("nc,nkc->nk", rgb, basis)
+    """(N, 3) rgb x (N, K, 3) basis -> (N, K) spectral values.
+
+    rgb is pre-multiplied by the basis-correction matrix so the CIE
+    round trip is exact (see _basis_correction); negative lobes of
+    out-of-gamut corrected spectra are clamped."""
+    rgb_c = rgb @ _basis_correction().T
+    return jnp.maximum(jnp.einsum("nc,nkc->nk", rgb_c, basis), 0.0)
 
 
 def spectral_to_rgb(L, wl, pdf):
