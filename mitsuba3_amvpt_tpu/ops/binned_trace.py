@@ -46,6 +46,8 @@ SUPER = 32          # tiles per supertile
 GROUP = 128         # lanes per sweep group (one tile-run walk each)
 NG_SW = 8           # groups per sweep-kernel invocation (8 sublanes min)
 MAX_ROUNDS = 256    # safety bound on traversal rounds
+K_EMIT = 4          # tiles emitted per ray per round (amortizes the
+                    # dense selection/sort/gather phases over K visits)
 _BIG = 3e38
 SENTINEL = 0x7FFFFFFF   # i32 key for "no tile" (sorts after all real ids;
                         # int32 because Mosaic lacks unsigned reductions)
@@ -374,55 +376,60 @@ def ray_triangles_binned(o, d, maxt, tri_soa, tile_aabb, super_aabb,
         done = done | (need & ~s_ok)
         active = ~done
 
-        # ---- tile selection within the current supertile
+        # ---- K tile selections within the current supertile: the
+        # (N, 32) slab is computed once; only the lex cursor advances
         has_sup = active & (cur >= 0)
         rows = tile_rows[jnp.maximum(cur, 0)]          # (N, SUPER*8)
         rows = rows.reshape(np_, SUPER, 8)
-        tlo = rows[:, :, 0:3]
-        thi = rows[:, :, 3:6]
-        tnt, hitt = _slab(o3, inv3, tlo, thi, limit)
-        # NOTE: uses the freshly-reset cursor (lt_t/lt_i), not s["..."] —
-        # lanes that picked a new supertile THIS round start from (-1,-1)
-        candt = hitt & _lex_gt(tnt, tile_ids32, lt_t[:, None],
-                               lt_i[:, None]) & has_sup[:, None]
-        tt, ti, t_ok = _lex_min(tnt,
-                                jnp.broadcast_to(tile_ids32, tnt.shape),
-                                candt)
-        # no tile left in this super -> drop it; a fresh super is picked
-        # NEXT round (cheap: supertile transitions are rare)
-        cur = jnp.where(has_sup & ~t_ok, -1, cur)
-        emit = has_sup & t_ok
-        lt_t = jnp.where(emit, tt, lt_t)
-        lt_i = jnp.where(emit, ti, lt_i)
-        gid = jnp.maximum(cur, 0) * SUPER + ti          # global tile id
+        tnt, hitt = _slab(o3, inv3, rows[:, :, 0:3], rows[:, :, 3:6],
+                          limit)
+        alive = has_sup
+        keys = []
+        for _k in range(K_EMIT):
+            candt = hitt & _lex_gt(tnt, tile_ids32, lt_t[:, None],
+                                   lt_i[:, None]) & alive[:, None]
+            tt, ti, t_ok = _lex_min(
+                tnt, jnp.broadcast_to(tile_ids32, tnt.shape), candt)
+            emit_k = alive & t_ok
+            lt_t = jnp.where(emit_k, tt, lt_t)
+            lt_i = jnp.where(emit_k, ti, lt_i)
+            gid = jnp.maximum(cur, 0) * SUPER + ti
+            keys.append(jnp.where(emit_k, gid, jnp.int32(SENTINEL)))
+            # exhausted mid-burst: wait for the next round's super pick
+            alive = alive & t_ok
+        emit = keys[0] != SENTINEL
+        cur = jnp.where(has_sup & ~alive, -1, cur)
 
-        key = jnp.where(emit, gid, jnp.int32(SENTINEL))
-
-        # ---- sort by tile, sweep runs, scatter back
-        lane = jnp.arange(np_, dtype=jnp.int32)
-        skey, slane = jax.lax.sort([key, lane], num_keys=1)
-        rows8 = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
-                           d[:, 0], d[:, 1], d[:, 2],
-                           limit, limit], axis=0)      # (8, N)
-        rows8 = rows8[:, slane]
+        # ---- sort all K*N emission slots by tile, sweep, un-sort
+        key_all = jnp.stack(keys, 1).reshape(np_ * K_EMIT)  # lane-major
+        slot = jnp.arange(np_ * K_EMIT, dtype=jnp.int32)
+        skey, sslot = jax.lax.sort([key_all, slot], num_keys=1)
+        lane_of = sslot // K_EMIT
+        ray_rows = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
+                              d[:, 0], d[:, 1], d[:, 2],
+                              limit, limit], axis=1)       # (N, 8)
+        rows8 = ray_rows[lane_of].T                        # (8, K*N)
         t_s, u_s, v_s, id_s = _run_sweep(rows8, skey, tri_soa, any_hit)
-        tt_c = jnp.full((np_,), jnp.inf).at[slane].set(
-            jnp.where(t_s >= _BIG * 0.5, jnp.inf, t_s))
-        uu_c = jnp.zeros((np_,)).at[slane].set(u_s)
-        vv_c = jnp.zeros((np_,)).at[slane].set(v_s)
-        ii_c = jnp.full((np_,), -1, jnp.int32).at[slane].set(id_s)
+        res = jnp.stack([jnp.where(t_s >= _BIG * 0.5, jnp.inf, t_s),
+                         u_s, v_s, id_s.astype(jnp.float32)], axis=1)
+        res = jnp.zeros((np_ * K_EMIT, 4)).at[sslot].set(res)
+        res = res.reshape(np_, K_EMIT, 4)
+        kbest = jnp.argmin(res[:, :, 0], axis=1)
+        rbest = jnp.take_along_axis(res, kbest[:, None, None], 1)[:, 0]
+        tt_c = rbest[:, 0]
         upd = tt_c < s["best_t"]
         return dict(
             best_t=jnp.where(upd, tt_c, s["best_t"]),
-            best_u=jnp.where(upd, uu_c, s["best_u"]),
-            best_v=jnp.where(upd, vv_c, s["best_v"]),
-            best_id=jnp.where(upd, ii_c, s["best_id"]),
+            best_u=jnp.where(upd, rbest[:, 1], s["best_u"]),
+            best_v=jnp.where(upd, rbest[:, 2], s["best_v"]),
+            best_id=jnp.where(upd, rbest[:, 3].astype(jnp.int32),
+                              s["best_id"]),
             cur_super=cur, ls_t=ls_t, ls_i=ls_i, lt_t=lt_t, lt_i=lt_i,
             done=done,
             rounds=s["rounds"] + 1,
             # a lane that exhausted its supertile emits nothing this
             # round but must get another round to pick its next super
-            emitted=jnp.any(emit) | jnp.any(has_sup & ~t_ok),
+            emitted=jnp.any(emit) | jnp.any(has_sup & ~alive),
         )
 
     def cond(s):
