@@ -321,21 +321,42 @@ def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
     """Large-scene tiled-cull sweep (ops/isect.py): triangles permuted
     into BVH-leaf order, per-tile AABB block culling, dense VPU tests.
     Rays are Morton-sorted so blocks stay coherent for the culling."""
+    import os
+
     from ..ops.isect import pack_tiles, ray_triangles_tiled
     order = geom.tri_order
     p0 = geom.tri_p0[order]
     p1 = geom.tri_p1[order]
     p2 = geom.tri_p2[order]
-    # VMEM-resident soup up to ~6 MB; beyond that, the cull-then-pop
-    # HBM-streaming worklist tracer (ops/stream_trace.py)
+    # VMEM-resident soup up to ~6 MB; beyond that, the sort-based
+    # binned tracer (ops/binned_trace.py) — per-ray front-to-back tile
+    # traversal whose cost tracks true (ray, tile) incidence.  The
+    # cull-then-pop streamer (ops/stream_trace.py) remains available
+    # via MT_LARGE_TRACER=stream (its block-union work model loses on
+    # incoherent bounce wavefronts; measured in GAPS.md round-2 delta).
     F = p0.shape[0]
     if F * 36 > (6 << 20):
-        from ..ops.stream_trace import (pack_tri_soa16,
-                                        ray_triangles_streamed,
-                                        tile_bounds16)
-        soa = pack_tri_soa16(p0, p1, p2)
-        tb = tile_bounds16(p0, p1, p2)
-        trace = ray_triangles_streamed
+        if os.environ.get("MT_LARGE_TRACER", "binned") == "stream":
+            from ..ops.stream_trace import (pack_tri_soa16,
+                                            ray_triangles_streamed,
+                                            tile_bounds16)
+            soa = pack_tri_soa16(p0, p1, p2)
+            tb = tile_bounds16(p0, p1, p2)
+            trace = ray_triangles_streamed
+        else:
+            from ..ops.binned_trace import (pack_binned,
+                                            ray_triangles_binned)
+            soa_b, sup_ab, tile_c, ns, nt = pack_binned(p0, p1, p2)
+
+            def trace(o, d, maxt, soa, tb, any_hit=False):
+                return ray_triangles_binned(o, d, maxt, soa_b, sup_ab,
+                                            tile_c, ns, nt,
+                                            any_hit=any_hit)
+
+            soa = tb = None
+            # binned needs no ray pre-sorting: run coherence comes from
+            # the global per-round tile-key sort
+            sort_rays = False
     else:
         soa, tb = pack_tiles(p0, p1, p2)
         trace = ray_triangles_tiled

@@ -59,7 +59,8 @@ def prb_pass(scene, seed, spp_pass: int, max_depth: int, rr_depth: int):
     return _primal(scene, seed, spp_pass, max_depth, rr_depth)
 
 
-def _primal(scene, seed, spp_pass, max_depth, rr_depth):
+def _primal(scene, seed, spp_pass, max_depth, rr_depth,
+            return_radiance: bool = False):
     W, H = scene.sensor.film_resolution
     n = W * H * spp_pass
     sampler = Sampler.seed(seed, n)
@@ -68,16 +69,25 @@ def _primal(scene, seed, spp_pass, max_depth, rr_depth):
         scene, ray, sampler, max_depth=max_depth, rr_depth=rr_depth)
     acc = film_prepare(scene.film)
     jitter = pos - jnp.floor(pos)
-    return film_put_coalesced(scene.film, acc, jitter, L * weight, spp_pass)
+    acc = film_put_coalesced(scene.film, acc, jitter, L * weight, spp_pass)
+    if return_radiance:
+        return acc, L
+    return acc
 
 
 def _prb_fwd(scene, seed, spp_pass, max_depth, rr_depth):
-    acc = _primal(sg(scene), seed, spp_pass, max_depth, rr_depth)
-    return acc, (sg(scene), seed)
+    # stash the per-lane primal radiance L as a residual: the backward
+    # then needs ONE scene walk (the replay) instead of two — the
+    # reference's two-pass structure (common.py:489+ render_backward:
+    # primal radiance is computed once and handed to the replay), at a
+    # cost of one (n, 3) array held between fwd and bwd.
+    acc, L = _primal(sg(scene), seed, spp_pass, max_depth, rr_depth,
+                     return_radiance=True)
+    return acc, (sg(scene), seed, sg(L))
 
 
 def _prb_bwd(spp_pass, max_depth, rr_depth, res, g_acc):
-    scene, seed = res
+    scene, seed, L = res
     W, H = scene.sensor.film_resolution
     n = W * H * spp_pass
     sampler = Sampler.seed(seed, n)
@@ -96,11 +106,9 @@ def _prb_bwd(spp_pass, max_depth, rr_depth, res, g_acc):
     (dL,) = splat_vjp(g_acc)
     dL = sg(dL * weight)
 
-    # pass 1: recompute primal radiance with the same stream
-    L, _, _, _ = path_mod.sample(scene, ray, sampler, max_depth=max_depth,
-                                 rr_depth=rr_depth)
-
-    # pass 2: replay
+    # replay (the primal radiance comes from the forward residuals —
+    # same seed, same counter-based stream, so it is exactly the L the
+    # old in-backward recompute produced)
     grad_scene = _replay_backward(scene, ray, sampler, dL, sg(L),
                                   max_depth, rr_depth)
     return (grad_scene, None)

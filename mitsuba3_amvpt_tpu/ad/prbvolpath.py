@@ -308,7 +308,8 @@ def prbvol_pass(scene, seed, spp_pass: int, max_depth: int, rr_depth: int):
     return _primal(scene, seed, spp_pass, max_depth, rr_depth)
 
 
-def _primal(scene, seed, spp_pass, max_depth, rr_depth):
+def _primal(scene, seed, spp_pass, max_depth, rr_depth,
+            return_radiance: bool = False):
     W, H = scene.sensor.film_resolution
     n = W * H * spp_pass
     sampler = Sampler.seed(seed, n)
@@ -317,16 +318,22 @@ def _primal(scene, seed, spp_pass, max_depth, rr_depth):
         scene, ray, sampler, max_depth=max_depth, rr_depth=rr_depth)
     acc = film_prepare(scene.film)
     jitter = pos - jnp.floor(pos)
-    return film_put_coalesced(scene.film, acc, jitter, L * weight, spp_pass)
+    acc = film_put_coalesced(scene.film, acc, jitter, L * weight, spp_pass)
+    if return_radiance:
+        return acc, L
+    return acc
 
 
 def _fwd(scene, seed, spp_pass, max_depth, rr_depth):
-    acc = _primal(sg(scene), seed, spp_pass, max_depth, rr_depth)
-    return acc, (sg(scene), seed)
+    # save the per-lane primal radiance so the backward skips its
+    # primal-recompute walk (see ad/prb.py:_prb_fwd)
+    acc, L = _primal(sg(scene), seed, spp_pass, max_depth, rr_depth,
+                     return_radiance=True)
+    return acc, (sg(scene), seed, sg(L))
 
 
 def _bwd(spp_pass, max_depth, rr_depth, res, g_acc):
-    scene, seed = res
+    scene, seed, L = res
     W, H = scene.sensor.film_resolution
     n = W * H * spp_pass
     sampler = Sampler.seed(seed, n)
@@ -341,8 +348,6 @@ def _bwd(spp_pass, max_depth, rr_depth, res, g_acc):
     (dL,) = splat_vjp(g_acc)
     dL = sg(dL * weight)
 
-    L, _, _, _ = volpath_mod.sample(scene, ray, sampler,
-                                    max_depth=max_depth, rr_depth=rr_depth)
     grad_scene = _replay_backward(scene, ray, sampler, dL, sg(L),
                                   max_depth, rr_depth)
     return (grad_scene, None)

@@ -88,11 +88,20 @@ def main(argv=None):
     from .core.bitmap import write_image
     from .render.integrators.api import render as render_fn
 
+    spp = args.spp or 16
+    integrator = args.integrator or "path"
+
     # cooperative cancellation: register early so a SIGINT during scene
     # load / first compile is caught too (the reference registers its
-    # handlers at startup, mitsuba_render.cpp:135-144)
+    # handlers at startup, mitsuba_render.cpp:135-144).  Only installed
+    # when the cooperative pass-by-pass branch below will actually run —
+    # the mvpath/stokes/spectral drivers render in one shot and never
+    # poll the flag, so swallowing SIGINT there would make the process
+    # unkillable with Ctrl-C.
+    cooperative = ((args.interruptible or args.timeout is not None)
+                   and integrator not in ("mvpath", "stokes", "spectral"))
     _stop = {"flag": False}
-    if args.interruptible or args.timeout is not None:
+    if cooperative:
         import signal as _signal
 
         def _early_int(signum, frame):
@@ -100,13 +109,13 @@ def main(argv=None):
                   "boundary", file=sys.stderr)
             _stop["flag"] = True
         _signal.signal(_signal.SIGINT, _early_int)
+    elif args.interruptible or args.timeout is not None:
+        print(f"[cli] note: -t/--interruptible have no effect with "
+              f"{integrator} (single-dispatch driver)", file=sys.stderr)
 
     t0 = time.time()
     scene = mt.load_file(args.scene, params=_parse_defines(args.defines))
     print(f"[cli] scene loaded in {time.time() - t0:.2f}s", file=sys.stderr)
-
-    spp = args.spp or 16
-    integrator = args.integrator or "path"
     kw = dict(spp=spp, seed=args.seed, max_depth=args.max_depth,
               spp_per_pass=args.spp_per_pass, raw=args.raw)
 
@@ -123,7 +132,7 @@ def main(argv=None):
         from .render.integrators.spectral import render_spectral
         img = render_spectral(scene, spp=spp, seed=args.seed,
                               max_depth=args.max_depth)
-    elif args.timeout is not None or args.interruptible:
+    elif cooperative:
         # cooperative pass-by-pass loop: wall-clock budget
         # (Integrator::m_timeout, integrator.cpp:24,168-169), SIGINT
         # cancellation (Integrator::m_stop / should_stop()) and SIGHUP

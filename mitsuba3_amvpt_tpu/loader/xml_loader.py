@@ -93,6 +93,11 @@ def _parse_element(node, params, base_dir):
         elif tag == "rgb":
             v = _floats(g("value"))
             d[name] = v if len(v) == 3 else v[0]
+        elif tag == "spectrum" and child.get("type"):
+            # plugin-style spectrum object (<spectrum type="d65" .../>),
+            # as stock Mitsuba 3 and utils/xml_writer.py emit
+            d[name or child.get("id") or tag] = _parse_element(
+                child, params, base_dir)
         elif tag == "spectrum":
             sval = g("value")
             if ":" in sval:  # wavelength:value pairs

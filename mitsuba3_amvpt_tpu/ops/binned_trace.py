@@ -1,35 +1,39 @@
-"""Sort-based binned tracer: per-ray front-to-back tile traversal.
+"""Sort-based binned tracer v2: per-ray front-to-back tile traversal
+with a fused Pallas selection kernel and staged lane compaction.
 
-The third-generation large-scene tracer (after the VMEM sweep in
-ops/isect.py and the cull-then-pop streamer in ops/stream_trace.py).
-The streamer's weakness is structural: its work per 1024-ray block is
-the UNION of the block's per-ray tile needs, and incoherent wavefronts
-(diffuse bounces, area-light shadows) have near-disjoint needs — the
-union approaches the whole scene (measured: 254/486 tiles admitted per
-block, 0.7 Mrays/s) even though each individual ray only needs its 2-4
-nearest tiles (99.5% of bounce rays hit within ~1 sphere spacing).
-
-This tracer makes the work proportional to the TRUE (ray, tile)
-incidence, the TPU analog of what Embree's per-ray BVH traversal gives
-the reference (scene_embree.inl:50):
+The large-scene tracer (TPU analog of Embree's per-ray BVH traversal,
+reference src/render/scene_embree.inl:50).  Work is proportional to the
+TRUE (ray, tile) incidence — not to block-level tile unions (the
+stream tracer's weakness on incoherent bounce wavefronts) and not to
+scene size:
 
   repeat (lax.while_loop):
-    1. per ray, select its NEXT unvisited tile in strict front-to-back
-       (t_near, id) lexicographic order — dense two-level hierarchy:
-       slab over ~n/32 supertile AABBs, then the 32 tile AABBs of the
-       ray's current supertile (one row-gather);
-    2. sort rays by emitted tile id (jax.lax.sort: 0.1 ms at 262k) —
-       finished rays carry a sentinel key and compact to the end, so
-       dead lanes cost nothing (SURVEY §7 "dynamic wavefronts");
-    3. a Pallas kernel walks each 128-lane group's tile RUNS: DMA the
-       run's triangle tile HBM->VMEM (double-buffered), dense
-       Moller-Trumbore sweep masked to the run;
+    1. SELECT (Pallas kernel, this round's new piece): each lane picks
+       its next K unvisited tiles in strict front-to-back (t_near, id)
+       lexicographic order over a dense two-level hierarchy — slab over
+       ~n_tiles/32 supertile AABBs (VMEM-resident), then the 32 tile
+       AABBs of the lane's current supertile fetched with ONE one-hot
+       MXU matmul.  All intermediates stay in VMEM; the previous XLA
+       formulation materialized (N, n_super) f32 temporaries in HBM
+       every round (~21 ms/round at 131k lanes — the measured round-2
+       bottleneck).
+    2. sort the K*N emitted keys by tile id (jax.lax.sort); finished
+       lanes carry a sentinel key and compact to the end.
+    3. SWEEP (Pallas kernel): each 128-lane group walks its tile RUNS:
+       DMA the run's triangle tile HBM->VMEM (double-buffered), dense
+       Moller-Trumbore sweep.
     4. scatter results back; a ray terminates when its best hit is
        nearer than every unvisited tile (exact per-ray early-out).
 
-Rays never revisit a tile: per-ray cursors (last supertile / last tile
-key) advance lexicographically, which also breaks t_near ties between
-abutting boxes without livelock.
+  Between stages the wavefront is COMPACTED: lanes are sorted by their
+  done flag and the arrays shrink (N -> N/4 -> N/16), so straggler
+  rounds cost a fraction of a full-wavefront round.
+
+Rays never revisit a tile: per-lane cursors (last supertile / last
+tile key) advance lexicographically, which also breaks t_near ties
+between abutting boxes without livelock.  Rounds are bounded by
+n_tiles + n_super + 8 — a true upper bound on per-lane visits, so no
+silent truncation (every emitted round makes lexicographic progress).
 """
 
 from __future__ import annotations
@@ -45,12 +49,19 @@ TILE = 128          # triangles per tile (DMA + sweep unit)
 SUPER = 32          # tiles per supertile
 GROUP = 128         # lanes per sweep group (one tile-run walk each)
 NG_SW = 8           # groups per sweep-kernel invocation (8 sublanes min)
-MAX_ROUNDS = 256    # safety bound on traversal rounds
-K_EMIT = 4          # tiles emitted per ray per round (amortizes the
-                    # dense selection/sort/gather phases over K visits)
+RL = 8              # lane rows per select-kernel block (RL*128 lanes)
+K_EMIT = 4          # tiles emitted per ray per round
+NCH = 20            # state channels per lane (see _CH below)
 _BIG = 3e38
+_IBIG = 1.0e9
 SENTINEL = 0x7FFFFFFF   # i32 key for "no tile" (sorts after all real ids;
                         # int32 because Mosaic lacks unsigned reductions)
+
+# state-channel map: everything f32 (integer cursors are small exact
+# floats); one (NB, NCH, 128) array keeps the select kernel to a single
+# blocked input/output
+_CH = dict(o=0, d=3, inv=6, limit=9, maxt=10, cur=11, ls_t=12, ls_i=13,
+           lt_t=14, lt_i=15, done=16, progress=17)
 
 
 # ---------------------------------------------------------------------------
@@ -60,10 +71,12 @@ SENTINEL = 0x7FFFFFFF   # i32 key for "no tile" (sorts after all real ids;
 def pack_binned(p0, p1, p2):
     """Triangles (already in BVH-leaf order) -> binned-tracer tables.
 
-    Returns (tri_soa (16, F_pad), tile_aabb (6, n_tiles),
-    super_aabb (6, n_super), tile_rows (n_super, SUPER*8)).
-    tile_rows packs each supertile's 32 tile AABBs in one row (6 used of
-    8 floats per tile) so the per-ray fetch is a single row gather.
+    Returns (tri_soa (16, F_pad), sup_ab (NSP, 8), tile_c (192, NSP),
+    ns_real, n_tiles_real).  ``sup_ab`` rows are supertile AABBs
+    (lox loy loz hix hiy hiz 0 0); ``tile_c[c*SUPER+j, s]`` is AABB
+    component c of tile ``s*SUPER+j`` — laid out so the per-lane tile
+    fetch is one (192, NSP) @ (NSP, 128) MXU matmul against a one-hot
+    supertile selector.  ns_real / n_tiles_real are static ints.
     All jnp — usable under jit with differentiable vertices upstream.
     """
     F = p0.shape[0]
@@ -79,54 +92,196 @@ def pack_binned(p0, p1, p2):
                      padv(p2, _BIG))
     hi = jnp.maximum(jnp.maximum(padv(p0, -_BIG), padv(p1, -_BIG)),
                      padv(p2, -_BIG))
-    n_tiles = (F + padt) // TILE
-    tlo = lo.reshape(n_tiles, TILE, 3).min(1)
-    thi = hi.reshape(n_tiles, TILE, 3).max(1)
-    tile_aabb = jnp.concatenate([tlo.T, thi.T], 0).astype(jnp.float32)
+    n_tiles_p = (F + padt) // TILE
+    n_tiles_real = -(-F // TILE)
+    tlo = lo.reshape(n_tiles_p, TILE, 3).min(1)
+    thi = hi.reshape(n_tiles_p, TILE, 3).max(1)
+    # partially padded tiles keep a correct AABB (min/max vs +/-BIG);
+    # fully padded tiles get inverted boxes but are masked by the
+    # static n_tiles_real id check in the kernel
+    tlo = jnp.clip(tlo, -_BIG, _BIG)
+    thi = jnp.clip(thi, -_BIG, _BIG)
 
-    n_super = n_tiles // SUPER
-    slo = tlo.reshape(n_super, SUPER, 3).min(1)
-    shi = thi.reshape(n_super, SUPER, 3).max(1)
-    super_aabb = jnp.concatenate([slo.T, shi.T], 0).astype(jnp.float32)
+    ns = n_tiles_p // SUPER
+    slo = tlo.reshape(ns, SUPER, 3).min(1)
+    shi = thi.reshape(ns, SUPER, 3).max(1)
+    nsp = max(-(-ns // 128) * 128, 128)
+    sup_ab = jnp.concatenate([slo, shi, jnp.zeros((ns, 2))], axis=1)
+    sup_ab = jnp.pad(sup_ab, ((0, nsp - ns), (0, 0))).astype(jnp.float32)
 
-    rows = jnp.concatenate([tlo, thi, jnp.zeros((n_tiles, 2))], axis=1)
-    tile_rows = rows.reshape(n_super, SUPER * 8).astype(jnp.float32)
-    return soa, tile_aabb, super_aabb, tile_rows
-
-
-# ---------------------------------------------------------------------------
-# XLA side: per-ray next-tile selection
-# ---------------------------------------------------------------------------
-
-def _slab(o, inv, lo, hi, limit):
-    """Vectorized slab test; o/inv (N,1,3) vs boxes (1,M,3).
-    Returns (t_near (N,M), hit)."""
-    t0 = (lo - o) * inv
-    t1 = (hi - o) * inv
-    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
-    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
-    tn = jnp.maximum(tn, 0.0)
-    hit = (tf >= tn) & (tn <= limit[:, None])
-    return tn, hit
-
-
-def _lex_min(t, idx, valid):
-    """Lexicographic min over axis -1 of (t, idx) among valid.
-    Returns (t*, idx*, any_valid)."""
-    tv = jnp.where(valid, t, _BIG)
-    tmin = jnp.min(tv, axis=-1)
-    iv = jnp.where(valid & (tv <= tmin[:, None]), idx, jnp.int32(2**30))
-    imin = jnp.min(iv, axis=-1)
-    return tmin, imin, jnp.isfinite(tmin) & (tmin < _BIG * 0.5)
-
-
-def _lex_gt(t, i, t0, i0):
-    """(t, i) lexicographically greater than (t0, i0)."""
-    return (t > t0) | ((t == t0) & (i > i0))
+    # tile_c: component-major rows, supertile lanes
+    comp = jnp.concatenate([tlo, thi], axis=1)        # (n_tiles_p, 6)
+    comp = comp.reshape(ns, SUPER, 6)
+    tile_c = jnp.transpose(comp, (2, 1, 0)).reshape(6 * SUPER, ns)
+    tile_c = jnp.pad(tile_c, ((0, 0), (0, nsp - ns))).astype(jnp.float32)
+    return soa, sup_ab, tile_c, ns, n_tiles_real
 
 
 # ---------------------------------------------------------------------------
-# Pallas run-sweep kernel
+# Pallas SELECT kernel: per-lane next-K-tiles in front-to-back order
+# ---------------------------------------------------------------------------
+
+def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
+                   ns_real: int, n_tiles_real: int, k_emit: int):
+    """One block = RL rows of 128 lanes.  Per 128-lane group:
+
+    * slab-test the NSP supertile AABBs once ((NSP, 128), VMEM),
+    * fetch the 32 tile AABBs of each lane's current supertile with a
+      single one-hot (192, NSP) @ (NSP, 128) matmul,
+    * emit up to k_emit tiles per lane in (t_near, id) lex order; a
+      lane that exhausts its supertile advances its super cursor (using
+      the cached slab) and pauses until the next round (its remaining
+      slots emit the sentinel).
+    """
+    nsp = sup_ref.shape[0]
+    ids_s = jax.lax.broadcasted_iota(
+        jnp.int32, (nsp, GROUP), 0).astype(jnp.float32)
+    ids_t = jax.lax.broadcasted_iota(
+        jnp.int32, (SUPER, GROUP), 0).astype(jnp.float32)
+    valid_s = ids_s < float(ns_real)
+
+    for rl in range(S_ref.shape[0]):
+        def ch(c):
+            return S_ref[rl, c:c + 1, :]
+
+        ox, oy, oz = ch(0), ch(1), ch(2)
+        dx, dy, dz = ch(3), ch(4), ch(5)
+        ix, iy, iz = ch(6), ch(7), ch(8)
+        limit = ch(9)
+        maxt = ch(10)
+        cur = ch(11)
+        ls_t, ls_i = ch(12), ch(13)
+        lt_t, lt_i = ch(14), ch(15)
+        done = ch(16) > 0.5
+
+        # ---- supertile slab, once per round: (NSP, 128)
+        def axis_ts(ref, lo_col, hi_col, oc, ic):
+            t0 = (ref[:, lo_col:lo_col + 1] - oc) * ic
+            t1 = (ref[:, hi_col:hi_col + 1] - oc) * ic
+            return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+        n0, f0 = axis_ts(sup_ref, 0, 3, ox, ix)
+        n1, f1 = axis_ts(sup_ref, 1, 4, oy, iy)
+        n2, f2 = axis_ts(sup_ref, 2, 5, oz, iz)
+        tn_s = jnp.maximum(jnp.maximum(n0, n1), jnp.maximum(n2, 0.0))
+        tf_s = jnp.minimum(jnp.minimum(f0, f1), f2)
+        hit_s = (tf_s >= tn_s) & (tn_s <= limit) & valid_s
+
+        def pick_super(lst, lsi):
+            cand = hit_s & ((tn_s > lst) | ((tn_s == lst) & (ids_s > lsi)))
+            tv = jnp.where(cand, tn_s, _BIG)
+            st = jnp.min(tv, axis=0, keepdims=True)
+            iv = jnp.where(cand & (tv <= st), ids_s, _IBIG)
+            si = jnp.min(iv, axis=0, keepdims=True)
+            return st, si, st < _BIG * 0.5
+
+        # ---- ensure a current supertile
+        need = (~done) & (cur < 0.0)
+        st, si, ok = pick_super(ls_t, ls_i)
+        ok0 = need & ok
+        cur = jnp.where(ok0, si, cur)
+        ls_t = jnp.where(ok0, st, ls_t)
+        ls_i = jnp.where(ok0, si, ls_i)
+        lt_t = jnp.where(ok0, -1.0, lt_t)
+        lt_i = jnp.where(ok0, -1.0, lt_i)
+        done = done | (need & ~ok)
+        progress = ok0
+
+        # ---- one-hot tile-row fetch: (192, NSP) @ (NSP, 128)
+        oh = (ids_s == jnp.maximum(cur, 0.0)).astype(jnp.float32)
+        rows = jax.lax.dot_general(
+            tile_ref[:, :], oh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)       # (192, 128)
+
+        def axis_tt(c, oc, ic):
+            lo = rows[c * SUPER:(c + 1) * SUPER, :]
+            hi = rows[(3 + c) * SUPER:(4 + c) * SUPER, :]
+            t0 = (lo - oc) * ic
+            t1 = (hi - oc) * ic
+            return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+
+        m0, g0 = axis_tt(0, ox, ix)
+        m1, g1 = axis_tt(1, oy, iy)
+        m2, g2 = axis_tt(2, oz, iz)
+        tn_t = jnp.maximum(jnp.maximum(m0, m1), jnp.maximum(m2, 0.0))
+        tf_t = jnp.minimum(jnp.minimum(g0, g1), g2)
+        gid_t = jnp.maximum(cur, 0.0) * float(SUPER) + ids_t
+        hit_t = ((tf_t >= tn_t) & (tn_t <= limit)
+                 & (gid_t < float(n_tiles_real)) & (cur >= 0.0))
+
+        # ---- K front-to-back tile emissions
+        alive = ~done
+        advanced = jnp.zeros_like(alive)
+        key_list = []
+        for _k in range(k_emit):
+            cand = (hit_t
+                    & ((tn_t > lt_t) | ((tn_t == lt_t) & (ids_t > lt_i)))
+                    & alive & ~advanced)
+            tv = jnp.where(cand, tn_t, _BIG)
+            tt = jnp.min(tv, axis=0, keepdims=True)
+            iv = jnp.where(cand & (tv <= tt), ids_t, _IBIG)
+            ti = jnp.min(iv, axis=0, keepdims=True)
+            emit = tt < _BIG * 0.5
+            keyf = cur * float(SUPER) + ti
+            key_list.append(jnp.where(emit, keyf.astype(jnp.int32),
+                                      jnp.int32(SENTINEL)))
+            lt_t = jnp.where(emit, tt, lt_t)
+            lt_i = jnp.where(emit, ti, lt_i)
+            # exhausted lanes: advance the super cursor (cached slab)
+            # and pause until next round (their rows are now stale)
+            need2 = alive & ~advanced & ~emit
+            st2, si2, oks = pick_super(ls_t, ls_i)
+            adv = need2 & oks
+            cur = jnp.where(adv, si2, cur)
+            ls_t = jnp.where(adv, st2, ls_t)
+            ls_i = jnp.where(adv, si2, ls_i)
+            lt_t = jnp.where(adv, -1.0, lt_t)
+            lt_i = jnp.where(adv, -1.0, lt_i)
+            done = done | (need2 & ~oks)
+            alive = alive & ~(need2 & ~oks)
+            advanced = advanced | adv
+            progress = progress | emit | adv
+
+        keys_ref[rl, :, :] = jnp.concatenate(key_list, axis=0)
+        S_out_ref[rl, :, :] = jnp.concatenate([
+            ox, oy, oz, dx, dy, dz, ix, iy, iz, limit, maxt, cur,
+            ls_t, ls_i, lt_t, lt_i,
+            done.astype(jnp.float32), progress.astype(jnp.float32),
+            jnp.zeros_like(ox), jnp.zeros_like(ox)], axis=0)
+
+
+def _select(S, sup_ab, tile_c, ns_real: int, n_tiles_real: int):
+    nb = S.shape[0]
+    grid = (nb // RL,)
+    interpret = jax.default_backend() != "tpu"
+    kernel = functools.partial(_select_kernel, ns_real=ns_real,
+                               n_tiles_real=n_tiles_real, k_emit=K_EMIT)
+    keys, S_new = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RL, NCH, GROUP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((RL, K_EMIT, GROUP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((RL, NCH, GROUP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nb, K_EMIT, GROUP), jnp.int32),
+            jax.ShapeDtypeStruct((nb, NCH, GROUP), jnp.float32),
+        ],
+        interpret=interpret,
+    )(S, sup_ab, tile_c)
+    return keys, S_new
+
+
+# ---------------------------------------------------------------------------
+# Pallas run-sweep kernel (unchanged architecture from v1)
 # ---------------------------------------------------------------------------
 
 def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
@@ -300,141 +455,154 @@ def _run_sweep(rays8, tids, tri_soa, any_hit: bool):
 
 
 # ---------------------------------------------------------------------------
-# driver
+# driver: round body, staged compaction
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("any_hit",))
-def ray_triangles_binned(o, d, maxt, tri_soa, tile_aabb, super_aabb,
-                         tile_rows, any_hit: bool = False):
+_RAY_CH = [_CH["o"], _CH["o"] + 1, _CH["o"] + 2,
+           _CH["d"], _CH["d"] + 1, _CH["d"] + 2,
+           _CH["limit"], _CH["limit"]]
+
+
+def _round_body(carry, soa, sup_ab, tile_c, ns_real, n_tiles_real,
+                any_hit):
+    S, bt, bu, bv, bid, orig, rounds = carry
+    npad = S.shape[0] * GROUP
+    keys, S = _select(S, sup_ab, tile_c, ns_real, n_tiles_real)
+
+    # sort K*N (key, slot) pairs — k-major slots so slot % N = lane
+    key_flat = jnp.moveaxis(keys, 1, 0).reshape(K_EMIT * npad)
+    slot = jnp.arange(K_EMIT * npad, dtype=jnp.int32)
+    skey, sslot = jax.lax.sort([key_flat, slot], num_keys=1)
+    lane_of = sslot % npad
+
+    ray_rows = jnp.moveaxis(S[:, jnp.array(_RAY_CH), :], 1, 2)
+    ray_rows = ray_rows.reshape(npad, 8)
+    rows8 = ray_rows[lane_of].T                       # (8, K*N)
+    t_s, u_s, v_s, id_s = _run_sweep(rows8, skey, soa, any_hit)
+
+    res = jnp.stack([jnp.where(t_s >= _BIG * 0.5, jnp.inf, t_s),
+                     u_s, v_s, id_s.astype(jnp.float32)], axis=1)
+    res = jnp.zeros((K_EMIT * npad, 4)).at[sslot].set(res)
+    res = res.reshape(K_EMIT, npad, 4)
+    kbest = jnp.argmin(res[:, :, 0], axis=0)
+    rbest = jnp.take_along_axis(res, kbest[None, :, None], 0)[0]
+    upd = rbest[:, 0] < bt
+    bt = jnp.where(upd, rbest[:, 0], bt)
+    bu = jnp.where(upd, rbest[:, 1], bu)
+    bv = jnp.where(upd, rbest[:, 2], bv)
+    bid = jnp.where(upd, rbest[:, 3].astype(jnp.int32), bid)
+
+    # write back limit (+ any-hit early-done) into the state
+    limit = jnp.minimum(
+        S[:, _CH["maxt"], :].reshape(npad), bt).reshape(-1, GROUP)
+    S = S.at[:, _CH["limit"], :].set(limit)
+    if any_hit:
+        hitf = (bid >= 0).astype(jnp.float32).reshape(-1, GROUP)
+        S = S.at[:, _CH["done"], :].max(hitf)
+    return (S, bt, bu, bv, bid, orig, rounds + 1)
+
+
+def _active_count(S):
+    return jnp.sum((S[:, _CH["done"], :] < 0.5).astype(jnp.int32))
+
+
+def _progressed(S):
+    return jnp.any(S[:, _CH["progress"], :] > 0.5)
+
+
+def _compact(carry, new_n):
+    """Sort lanes by done flag (active first) and shrink to new_n."""
+    S, bt, bu, bv, bid, orig, rounds = carry
+    n = S.shape[0] * GROUP
+    done = (S[:, _CH["done"], :].reshape(n) > 0.5).astype(jnp.int32)
+    perm = jnp.argsort(done, stable=True)[:new_n]
+    S_flat = jnp.moveaxis(S, 1, 2).reshape(n, NCH)
+    S_new = jnp.moveaxis(
+        S_flat[perm].reshape(new_n // GROUP, GROUP, NCH), 2, 1)
+    return (S_new, bt[perm], bu[perm], bv[perm], bid[perm], orig[perm],
+            rounds)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ns_real", "n_tiles_real", "any_hit"))
+def ray_triangles_binned(o, d, maxt, tri_soa, sup_ab, tile_c,
+                         ns_real: int, n_tiles_real: int,
+                         any_hit: bool = False):
     """Front-to-back binned tracing (module docstring).
 
     Returns (t, u, v, clustered_prim_id) with t == inf / id == -1 on
-    miss.  Rays need NO pre-sorting: coherence only affects how many
-    lanes share a tile run (a mild constant), not the visit count.
+    miss.  Rays need NO pre-sorting: the global per-round key sort
+    provides run coherence regardless of ray order.
     """
     n = o.shape[0]
-    pad = (-n) % (NG_SW * GROUP)
+    blk = RL * GROUP
+    pad = (-n) % blk
     if pad:
         o = jnp.pad(o, ((0, pad), (0, 0)))
         d = jnp.pad(d, ((0, pad), (0, 0)), constant_values=1.0)
         maxt = jnp.pad(maxt, (0, pad), constant_values=-1.0)
-    np_ = n + pad
+    npad = n + pad
 
-    n_super = super_aabb.shape[1]
     inv = 1.0 / jnp.where(jnp.abs(d) < 1e-20,
                           jnp.where(d < 0, -1e-20, 1e-20), d)
-    # clamp maxt to the scene-bbox exit (miss lanes terminate as soon as
-    # their frontier passes the geometry instead of marching to inf)
-    glo = jnp.min(tile_aabb[0:3], axis=1)
-    ghi = jnp.max(tile_aabb[3:6], axis=1)
+    # clamp maxt to the scene-bbox exit (miss lanes terminate as soon
+    # as their frontier passes the geometry instead of marching to inf)
+    glo = jnp.min(sup_ab[:ns_real, 0:3], axis=0)
+    ghi = jnp.max(sup_ab[:ns_real, 3:6], axis=0)
     t_exit = jnp.min(jnp.maximum((glo[None] - o) * inv,
                                  (ghi[None] - o) * inv), axis=-1)
     maxt = jnp.minimum(maxt, jnp.maximum(t_exit, 0.0) * 1.0001 + 1e-4)
 
-    o3 = o[:, None, :]
-    inv3 = inv[:, None, :]
-    slo = super_aabb[0:3].T[None]
-    shi = super_aabb[3:6].T[None]
-    sup_ids = jnp.arange(n_super, dtype=jnp.int32)[None]
-    tile_ids32 = jnp.arange(SUPER, dtype=jnp.int32)[None]
+    done0 = (maxt <= 0.0).astype(jnp.float32)
+    chans = [o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             inv[:, 0], inv[:, 1], inv[:, 2],
+             maxt, maxt,                             # limit, maxt
+             jnp.full((npad,), -1.0), jnp.full((npad,), -1.0),
+             jnp.full((npad,), -1.0), jnp.full((npad,), -1.0),
+             jnp.full((npad,), -1.0),                # cur, ls_t/i, lt_t/i
+             done0, jnp.ones((npad,)),               # done, progress
+             jnp.zeros((npad,)), jnp.zeros((npad,))]
+    S = jnp.moveaxis(
+        jnp.stack(chans, 0).reshape(NCH, npad // GROUP, GROUP), 0, 1)
 
-    state = dict(
-        best_t=jnp.full((np_,), jnp.inf),
-        best_u=jnp.zeros((np_,)),
-        best_v=jnp.zeros((np_,)),
-        best_id=jnp.full((np_,), -1, jnp.int32),
-        cur_super=jnp.full((np_,), -1, jnp.int32),
-        ls_t=jnp.full((np_,), -1.0),      # last super key
-        ls_i=jnp.full((np_,), -1, jnp.int32),
-        lt_t=jnp.full((np_,), -1.0),      # last tile key (within super)
-        lt_i=jnp.full((np_,), -1, jnp.int32),
-        done=maxt <= 0.0,
-        rounds=jnp.int32(0),
-        emitted=jnp.ones((), bool),
-    )
+    carry = (S,
+             jnp.full((npad,), jnp.inf), jnp.zeros((npad,)),
+             jnp.zeros((npad,)), jnp.full((npad,), -1, jnp.int32),
+             jnp.arange(npad, dtype=jnp.int32), jnp.int32(0))
 
-    def round_body(s):
-        limit = jnp.minimum(s["best_t"], maxt)
-        if any_hit:
-            done = s["done"] | (s["best_id"] >= 0)
-        else:
-            done = s["done"]
-        active = ~done
+    max_rounds = n_tiles_real + ns_real + 8
+    body = functools.partial(_round_body, soa=tri_soa, sup_ab=sup_ab,
+                             tile_c=tile_c, ns_real=ns_real,
+                             n_tiles_real=n_tiles_real, any_hit=any_hit)
 
-        # ---- supertile selection for lanes without a current super
-        need = active & (s["cur_super"] < 0)
-        tns, hits = _slab(o3, inv3, slo, shi, limit)
-        cand = hits & _lex_gt(tns, sup_ids, s["ls_t"][:, None],
-                              s["ls_i"][:, None]) & need[:, None]
-        st, si, s_ok = _lex_min(tns, jnp.broadcast_to(sup_ids, tns.shape),
-                                cand)
-        cur = jnp.where(need & s_ok, si, s["cur_super"])
-        ls_t = jnp.where(need & s_ok, st, s["ls_t"])
-        ls_i = jnp.where(need & s_ok, si, s["ls_i"])
-        lt_t = jnp.where(need & s_ok, -1.0, s["lt_t"])
-        lt_i = jnp.where(need & s_ok, -1, s["lt_i"])
-        done = done | (need & ~s_ok)
-        active = ~done
+    # stage sizes: full -> 1/4 -> 1/16 (multiples of one select block)
+    sizes = [npad]
+    for f in (4, 16):
+        s = max((npad // f) // blk * blk, blk)
+        if s < sizes[-1]:
+            sizes.append(s)
 
-        # ---- K tile selections within the current supertile: the
-        # (N, 32) slab is computed once; only the lex cursor advances
-        has_sup = active & (cur >= 0)
-        rows = tile_rows[jnp.maximum(cur, 0)]          # (N, SUPER*8)
-        rows = rows.reshape(np_, SUPER, 8)
-        tnt, hitt = _slab(o3, inv3, rows[:, :, 0:3], rows[:, :, 3:6],
-                          limit)
-        alive = has_sup
-        keys = []
-        for _k in range(K_EMIT):
-            candt = hitt & _lex_gt(tnt, tile_ids32, lt_t[:, None],
-                                   lt_i[:, None]) & alive[:, None]
-            tt, ti, t_ok = _lex_min(
-                tnt, jnp.broadcast_to(tile_ids32, tnt.shape), candt)
-            emit_k = alive & t_ok
-            lt_t = jnp.where(emit_k, tt, lt_t)
-            lt_i = jnp.where(emit_k, ti, lt_i)
-            gid = jnp.maximum(cur, 0) * SUPER + ti
-            keys.append(jnp.where(emit_k, gid, jnp.int32(SENTINEL)))
-            # exhausted mid-burst: wait for the next round's super pick
-            alive = alive & t_ok
-        emit = keys[0] != SENTINEL
-        cur = jnp.where(has_sup & ~alive, -1, cur)
+    res_t = jnp.full((npad,), jnp.inf)
+    res_u = jnp.zeros((npad,))
+    res_v = jnp.zeros((npad,))
+    res_id = jnp.full((npad,), -1, jnp.int32)
 
-        # ---- sort all K*N emission slots by tile, sweep, un-sort
-        key_all = jnp.stack(keys, 1).reshape(np_ * K_EMIT)  # lane-major
-        slot = jnp.arange(np_ * K_EMIT, dtype=jnp.int32)
-        skey, sslot = jax.lax.sort([key_all, slot], num_keys=1)
-        lane_of = sslot // K_EMIT
-        ray_rows = jnp.stack([o[:, 0], o[:, 1], o[:, 2],
-                              d[:, 0], d[:, 1], d[:, 2],
-                              limit, limit], axis=1)       # (N, 8)
-        rows8 = ray_rows[lane_of].T                        # (8, K*N)
-        t_s, u_s, v_s, id_s = _run_sweep(rows8, skey, tri_soa, any_hit)
-        res = jnp.stack([jnp.where(t_s >= _BIG * 0.5, jnp.inf, t_s),
-                         u_s, v_s, id_s.astype(jnp.float32)], axis=1)
-        res = jnp.zeros((np_ * K_EMIT, 4)).at[sslot].set(res)
-        res = res.reshape(np_, K_EMIT, 4)
-        kbest = jnp.argmin(res[:, :, 0], axis=1)
-        rbest = jnp.take_along_axis(res, kbest[:, None, None], 1)[:, 0]
-        tt_c = rbest[:, 0]
-        upd = tt_c < s["best_t"]
-        return dict(
-            best_t=jnp.where(upd, tt_c, s["best_t"]),
-            best_u=jnp.where(upd, rbest[:, 1], s["best_u"]),
-            best_v=jnp.where(upd, rbest[:, 2], s["best_v"]),
-            best_id=jnp.where(upd, rbest[:, 3].astype(jnp.int32),
-                              s["best_id"]),
-            cur_super=cur, ls_t=ls_t, ls_i=ls_i, lt_t=lt_t, lt_i=lt_i,
-            done=done,
-            rounds=s["rounds"] + 1,
-            # a lane that exhausted its supertile emits nothing this
-            # round but must get another round to pick its next super
-            emitted=jnp.any(emit) | jnp.any(has_sup & ~alive),
-        )
+    for si, size in enumerate(sizes):
+        if si:
+            carry = _compact(carry, size)
+        thr = sizes[si + 1] if si + 1 < len(sizes) else 0
 
-    def cond(s):
-        return s["emitted"] & (s["rounds"] < MAX_ROUNDS)
+        def cond(c, thr=thr):
+            S_c, rounds = c[0], c[6]
+            return (_progressed(S_c) & (rounds < max_rounds)
+                    & (_active_count(S_c) > thr))
 
-    s = jax.lax.while_loop(cond, round_body, state)
-    t = jnp.where(s["best_id"] >= 0, s["best_t"], jnp.inf)
-    return (t[:n], s["best_u"][:n], s["best_v"][:n], s["best_id"][:n])
+        carry = jax.lax.while_loop(cond, lambda c: body(c), carry)
+        _, bt, bu, bv, bid, orig, _ = carry
+        res_t = res_t.at[orig].set(bt)
+        res_u = res_u.at[orig].set(bu)
+        res_v = res_v.at[orig].set(bv)
+        res_id = res_id.at[orig].set(bid)
+
+    t = jnp.where(res_id >= 0, res_t, jnp.inf)
+    return (t[:n], res_u[:n], res_v[:n], res_id[:n])

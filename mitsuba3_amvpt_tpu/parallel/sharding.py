@@ -19,6 +19,8 @@ device count (deterministic seeding by global lane id).
 from __future__ import annotations
 
 import functools
+import logging
+import math
 
 import jax
 import jax.numpy as jnp
@@ -175,17 +177,23 @@ def render_mvpath_sharded(scene, mesh: Mesh, spp: int = 16, seed: int = 0,
                           fast_mis: bool = True, raw: bool = False):
     """AMVPT multi-view render over a 2D (views, rays) mesh.
 
-    The quilt's views shard over the leading mesh axis (reuse groups —
-    the unit of AMVPT sample sharing — are S consecutive views and
-    never cross a shard), rays/pixels over the trailing axis.  Lane ids
-    are global, so the image is bit-identical for any mesh shape
-    including (1, 1) — tested on the virtual CPU mesh.
+    The quilt's views shard over the leading mesh axis, rays/pixels
+    over the trailing axis.  Lane ids are global, so the image is
+    bit-identical for any mesh shape including (1, 1) — tested on the
+    virtual CPU mesh.
 
-    Requires n_views % n_vdev == 0.  Reuse groups MAY span view-shards:
-    the batched estimator is lane-local (each lane reprojects its own
-    sample into all S group cameras and splats into its local full-quilt
-    film; the psum merges) — sharding affects splat locality, not
-    correctness.
+    Requires n_views % n_vdev == 0.  Reuse groups (S consecutive
+    views, the unit of AMVPT sample sharing) MAY span view-shards: the
+    batched estimator is lane-local (each lane reprojects its own
+    sample into all S group cameras and splats into its local
+    full-quilt film; the psum merges) — sharding affects splat
+    locality, not correctness.
+
+    Per-pass lane counts must divide n_rdev; spp_pass is therefore
+    chosen as a multiple of n_rdev / gcd(vw*vh, n_rdev) up front.  If
+    the requested spp leaves a remainder that cannot satisfy this, the
+    final pass is rounded UP to the next multiple (reported, not
+    silent); the film weight channel keeps the estimate unbiased.
     """
     from ..render.integrators.mvpath import reuse_group_size
     vaxis, raxis = mesh.axis_names
@@ -196,8 +204,10 @@ def render_mvpath_sharded(scene, mesh: Mesh, spp: int = 16, seed: int = 0,
     assert N % n_vdev == 0, \
         f"views ({N}) must divide across view-shards ({n_vdev})"
     vw, vh = sensor.resolution
+    q = n_rdev // math.gcd(vw * vh, n_rdev)   # spp granularity per pass
     spp_pass = max(1, min(spp, (n_rdev * n_vdev << 21)
                           // max(vw * vh * N * S, 1)))
+    spp_pass = max(q, spp_pass // q * q)
 
     @functools.partial(jax.jit, static_argnames=("spp_pass",))
     def one_pass(scene_in, seed_in, spp_pass):
@@ -213,8 +223,12 @@ def render_mvpath_sharded(scene, mesh: Mesh, spp: int = 16, seed: int = 0,
     done, i = 0, 0
     while done < spp:
         sp = min(spp_pass, spp - done)
-        while (vw * vh * sp) % n_rdev != 0:
-            sp += 1
+        if sp % q:
+            sp = -(-sp // q) * q      # final-pass round-up, reported
+            logging.getLogger(__name__).info(
+                "render_mvpath_sharded: final pass rounded %d -> %d spp "
+                "(lane count must divide %d ray-shards)",
+                spp - done, sp, n_rdev)
         acc = acc + one_pass(scene, jnp.uint32(seed + sp * i + done), sp)
         done += sp
         i += 1

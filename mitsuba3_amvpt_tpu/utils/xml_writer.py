@@ -73,7 +73,7 @@ def _tag_for(type_name: str, key: str) -> str:
     if type_name in _VOLUMES:
         return "volume"
     if type_name in _SPECTRA:
-        return "spectrum_obj" if key not in () else "spectrum"
+        return "spectrum"
     raise ValueError(f"cannot map type {type_name!r} to an XML tag")
 
 
@@ -97,9 +97,14 @@ class _W:
     def line(self, s):
         self.lines.append("    " * self.ind + s)
 
+    @staticmethod
+    def _attrs(attrs):
+        from xml.sax.saxutils import quoteattr
+        return "".join(f" {k}={quoteattr(str(v))}"
+                       for k, v in attrs.items() if v is not None)
+
     def open(self, tag, **attrs):
-        a = "".join(f' {k}="{v}"' for k, v in attrs.items() if v is not None)
-        self.line(f"<{tag}{a}>")
+        self.line(f"<{tag}{self._attrs(attrs)}>")
         self.ind += 1
 
     def close(self, tag):
@@ -107,8 +112,7 @@ class _W:
         self.line(f"</{tag}>")
 
     def leaf(self, tag, **attrs):
-        a = "".join(f' {k}="{v}"' for k, v in attrs.items() if v is not None)
-        self.line(f"<{tag}{a}/>")
+        self.line(f"<{tag}{self._attrs(attrs)}/>")
 
 
 def _write_transform(w: _W, name, spec):

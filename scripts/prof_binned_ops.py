@@ -52,10 +52,11 @@ def main():
     db = jnp.asarray(dr)
     maxt = jnp.full((n,), jnp.inf)
 
-    soa, ta, sa, trows = bt.pack_binned(jnp.asarray(p0), jnp.asarray(p1),
-                                        jnp.asarray(p2))
-    f2 = jax.jit(bt.ray_triangles_binned)
-    t = f2(ob, db, maxt, soa, ta, sa, trows)[0]
+    soa, sup_ab, tile_c, ns, nt = bt.pack_binned(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2))
+    f2 = lambda o, d, m: bt.ray_triangles_binned(o, d, m, soa, sup_ab,
+                                                 tile_c, ns, nt)
+    t = f2(ob, db, maxt)[0]
     jax.block_until_ready(t)
     print("hit", float(jnp.isfinite(t).mean()), flush=True)
 
@@ -63,8 +64,7 @@ def main():
     os.system(f"rm -rf {tmpdir}")
     with jax.profiler.trace(tmpdir):
         t0 = time.time()
-        jax.block_until_ready(
-            f2(ob + 1e-4, db, maxt, soa, ta, sa, trows)[0])
+        jax.block_until_ready(f2(ob + 1e-4, db, maxt)[0])
         wall = time.time() - t0
     print(f"wall {wall*1e3:.1f} ms", flush=True)
 

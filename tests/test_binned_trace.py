@@ -41,15 +41,15 @@ def test_matches_brute(rng, n_tri, n_ray):
     order = np.argsort(key)
     p0, p1, p2 = p0[order], p1[order], p2[order]
 
-    soa, ta, sa, tr = pack_binned(jnp.asarray(p0), jnp.asarray(p1),
-                                  jnp.asarray(p2))
+    soa, sup_ab, tile_c, ns, nt = pack_binned(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2))
     o = rng.random((n_ray, 3)).astype(np.float32) * 12.0 - 1.0
     d = rng.normal(size=(n_ray, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     maxt = jnp.full((n_ray,), jnp.inf)
 
     t, u, v, cid = ray_triangles_binned(jnp.asarray(o), jnp.asarray(d),
-                                        maxt, soa, ta, sa, tr)
+                                        maxt, soa, sup_ab, tile_c, ns, nt)
     tb, kb = brute(jnp.asarray(o), jnp.asarray(d), maxt,
                    jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2))
 
@@ -65,31 +65,32 @@ def test_matches_brute(rng, n_tri, n_ray):
 
 def test_any_hit_consistent(rng):
     p0, p1, p2 = random_soup(1500, rng)
-    soa, ta, sa, tr = pack_binned(jnp.asarray(p0), jnp.asarray(p1),
-                                  jnp.asarray(p2))
+    soa, sup_ab, tile_c, ns, nt = pack_binned(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2))
     o = rng.random((128, 3)).astype(np.float32) * 12.0 - 1.0
     d = rng.normal(size=(128, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     maxt = jnp.full((128,), jnp.inf)
     t, _, _, cid = ray_triangles_binned(jnp.asarray(o), jnp.asarray(d),
-                                        maxt, soa, ta, sa, tr)
+                                        maxt, soa, sup_ab, tile_c, ns, nt)
     ta_, _, _, cida = ray_triangles_binned(jnp.asarray(o),
                                            jnp.asarray(d), maxt,
-                                           soa, ta, sa, tr, any_hit=True)
+                                           soa, sup_ab, tile_c, ns, nt,
+                                           any_hit=True)
     occ = np.asarray(cida) >= 0
     assert (occ == np.isfinite(np.asarray(t))).all()
 
 
 def test_finite_maxt(rng):
     p0, p1, p2 = random_soup(1200, rng)
-    soa, ta, sa, tr = pack_binned(jnp.asarray(p0), jnp.asarray(p1),
-                                  jnp.asarray(p2))
+    soa, sup_ab, tile_c, ns, nt = pack_binned(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2))
     o = rng.random((128, 3)).astype(np.float32) * 12.0 - 1.0
     d = rng.normal(size=(128, 3)).astype(np.float32)
     d /= np.linalg.norm(d, axis=-1, keepdims=True)
     maxt = jnp.full((128,), 3.0)
     t, _, _, _ = ray_triangles_binned(jnp.asarray(o), jnp.asarray(d),
-                                      maxt, soa, ta, sa, tr)
+                                      maxt, soa, sup_ab, tile_c, ns, nt)
     tb, _ = brute(jnp.asarray(o), jnp.asarray(d), maxt,
                   jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2))
     t = np.asarray(t)
