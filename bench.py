@@ -3,17 +3,29 @@
 Prints one JSON line per metric; the final line is the round-over-round
 headline (Cornell primal Mrays/s, tracked since round 1).
 
-Metrics (BASELINE.json):
+Metrics — one per BASELINE.json config:
 * ``bigscene_1m_mrays_per_s`` — primal throughput on a ~1M-triangle
-  scene (HBM-streaming tracer; config-5 single-chip scale proxy).
+  scene (binned tracer; config-5 single-chip scale proxy).
 * ``cornell_fwdbwd_64spp_mrays_per_s`` — PRB fwd+bwd at 64 spp, the
-  BASELINE headline ("Mrays/s/chip fwd+bwd").  Ray count is the primal
-  query count (W*H*spp*depth*2); time is a full value_and_grad step.
-* ``cornell_256_64spp_d6_mrays_per_s`` — primal Cornell headline.
+  BASELINE headline ("Mrays/s/chip fwd+bwd", config 4).  Ray count is
+  the primal query count (W*H*spp*depth*2); time is a full
+  value_and_grad step.
+* ``veach_512_128spp_mrays_per_s`` — MIS/NEE-heavy Veach scene
+  (config 2): area emitters + rough conductors at 512^2 @ 128 spp.
+* ``amvpt_8view_quilt_mrays_per_s`` — 8-view AMVPT quilt with sample
+  reuse in the reference configuration (exact tv_pdf MIS, adaptive
+  refill on; config 3).  Ray count bills the base wavefront
+  (views*W*H*spp*depth*2) — reuse amplifies effective samples at
+  constant query count, so this is a throughput (not quality) metric.
+* ``texture_recovery_step_ms`` — one Adam step of albedo-texture
+  recovery (config 4's optimization loop), value_and_grad end-to-end.
+* ``cornell_256_64spp_d6_mrays_per_s`` — primal Cornell headline
+  (config 1).
 
 The reference publishes no numbers (BASELINE.md); vs_baseline is
-reported against a 100 Mrays/s nominal single-device target so the
-driver can track round-over-round progress on identical hardware.
+reported against a 100 Mrays/s nominal single-device target (and a
+100 ms nominal recovery step) so the driver can track round-over-round
+progress on identical hardware.
 """
 
 from __future__ import annotations
@@ -22,6 +34,7 @@ import json
 import time
 
 NOMINAL_MRAYS = 100.0
+NOMINAL_STEP_MS = 100.0
 
 
 def emit(metric, mrays):
@@ -30,6 +43,15 @@ def emit(metric, mrays):
         "value": round(mrays, 3),
         "unit": "Mrays/s",
         "vs_baseline": round(mrays / NOMINAL_MRAYS, 4),
+    }), flush=True)
+
+
+def emit_ms(metric, ms):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(ms, 3),
+        "unit": "ms",
+        "vs_baseline": round(NOMINAL_STEP_MS / max(ms, 1e-9), 4),
     }), flush=True)
 
 
@@ -70,6 +92,102 @@ def bench_fwdbwd(mt, jax, jnp, scene):
          W * H * SPP * DEPTH * 2 / dt / 1e6)
 
 
+def bench_veach(mt, jax, jnp):
+    from mitsuba3_amvpt_tpu.utils import scenes
+    W = H = 512
+    SPP = 128
+    DEPTH = 4
+    scene = mt.load_dict(scenes.veach_mis(res=W))
+    img = mt.render(scene, spp=SPP, max_depth=DEPTH, seed=0)
+    jax.block_until_ready(img)
+    t0 = time.perf_counter()
+    img = mt.render(scene, spp=SPP, max_depth=DEPTH, seed=1)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    emit("veach_512_128spp_mrays_per_s",
+         W * H * SPP * DEPTH * 2 / dt / 1e6)
+
+
+def bench_amvpt(mt, jax, jnp):
+    """8-view quilt, reference configuration: reuse on (S=8), exact
+    tv_pdf (fast_mis=False, mvpath.h:126) and adaptive refill
+    (n_adapt>0, mvpath.h:127)."""
+    from mitsuba3_amvpt_tpu.render.integrators.mvpath import render_mvpath
+    from mitsuba3_amvpt_tpu.utils import scenes
+    VIEWS = 8
+    RES = 256
+    SPP = 16
+    DEPTH = 6
+    d = scenes.cornell_box(res=RES)
+    d["sensor"] = {
+        "type": "grid", "grid": [VIEWS, 1], "mode": "cone",
+        "fov": 39.3077, "focus_distance": 3.9, "cone_deg": 25.0,
+        "to_world": {"lookat": {"origin": [0, 0, 3.9],
+                                "target": [0, 0, 0], "up": [0, 1, 0]}},
+        "film": {"type": "hdrfilm", "width": RES * VIEWS, "height": RES,
+                 "rfilter": {"type": "box"}}}
+    scene = mt.load_dict(d)
+
+    def frame(seed):
+        return render_mvpath(scene, spp=SPP, max_depth=DEPTH, seed=seed,
+                             fast_mis=False, n_adapt=max(1, SPP // 4))
+
+    jax.block_until_ready(frame(0))
+    t0 = time.perf_counter()
+    img = frame(1)
+    jax.block_until_ready(img)
+    dt = time.perf_counter() - t0
+    emit("amvpt_8view_quilt_mrays_per_s",
+         VIEWS * RES * RES * SPP * DEPTH * 2 / dt / 1e6)
+
+
+def bench_texrec(mt, jax, jnp):
+    """One Adam step (value_and_grad) of albedo-texture recovery."""
+    from mitsuba3_amvpt_tpu.ad.prb import prb_pass
+    from mitsuba3_amvpt_tpu.ad import update_scene
+    from mitsuba3_amvpt_tpu.render.film import film_develop
+    RES = 128
+    SPP = 16
+
+    scene = mt.load_dict({
+        "type": "scene",
+        "sensor": {"type": "perspective", "fov": 45,
+                   "to_world": {"lookat": {"origin": [0, 2.0, 2.0],
+                                           "target": [0, 0, 0],
+                                           "up": [0, 1, 0]}},
+                   "film": {"type": "hdrfilm", "width": RES,
+                            "height": RES,
+                            "rfilter": {"type": "box"}}},
+        "floor": {"type": "rectangle",
+                  "to_world": {"ops": [{"rotate": {"axis": [1, 0, 0],
+                                                   "angle": -90}},
+                                       {"scale": [1.5, 1.5, 1.5]}]},
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": {"type": "checkerboard",
+                                           "color0": [0.7, 0.2, 0.1],
+                                           "color1": [0.1, 0.3, 0.7],
+                                           "res": 32}}},
+        "light": {"type": "point", "position": [0, 3, 1],
+                  "intensity": 25.0}})
+    target = film_develop(prb_pass(scene, jnp.uint32(7), SPP, 2, 8))
+    tex0 = scene.textures.texels
+
+    @jax.jit
+    def step(texels, seed):
+        def loss(t):
+            s = update_scene(scene, {"textures.texels": t})
+            img = film_develop(prb_pass(s, seed, SPP, 2, 8))
+            return jnp.mean((img - target) ** 2)
+        return jax.value_and_grad(loss)(texels)
+
+    t_init = jnp.full_like(tex0, 0.4)
+    jax.block_until_ready(step(t_init, jnp.uint32(0)))
+    t0 = time.perf_counter()
+    jax.block_until_ready(step(t_init, jnp.uint32(1)))
+    dt = time.perf_counter() - t0
+    emit_ms("texture_recovery_step_ms", dt * 1e3)
+
+
 def main():
     import jax
     # persistent compile cache: the large-scene render programs take
@@ -98,6 +216,13 @@ def main():
         bench_fwdbwd(mt, jax, jnp, scene)
     except Exception as e:
         print(f"# fwdbwd bench failed: {type(e).__name__}: {e}")
+
+    for name, fn in (("veach", bench_veach), ("amvpt", bench_amvpt),
+                     ("texrec", bench_texrec)):
+        try:
+            fn(mt, jax, jnp)
+        except Exception as e:
+            print(f"# {name} bench failed: {type(e).__name__}: {e}")
 
     spp_pass = 16
     n_passes = SPP // spp_pass

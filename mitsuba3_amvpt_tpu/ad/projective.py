@@ -33,10 +33,12 @@ the incident-radiance discontinuity along direction w = (y - x_k)/|.|,
 estimated with two offset continuation rays; the boundary velocity is
 grafted through the differentiable direction (n_hat . w(theta)).  The
 adjoint is the lane's pixel gradient x its PRB throughput x the BSDF
-at x_k.  Edge sampling is uniform-by-length (the reference's
-grid/octree guiding distributions, ad/guiding.py:22,141, are an
-importance-sampling refinement on the same estimator — a documented
-quality lever, not a correctness gap).  Discontinuities seen through
+at x_k.  Round 3 adds GRID GUIDING for the primary boundary term
+(ad/guiding.py here, reference ad/guiding.py:22 GridDistr): a pilot
+batch deposits |contribution| over the (edge, position) sample square
+and the main batch importance-samples from the grid with a uniform
+floor; the indirect term keeps uniform-by-length sampling (its sample
+space is per-bounce).  Discontinuities seen through
 SPECULAR chains (mirror -> occluder) need the specular-projection
 mapping and remain open; diffuse/rough indirect visibility — shadows
 seen only via interreflection — is covered and FD-validated.
@@ -103,18 +105,20 @@ def build_edge_table(verts: np.ndarray, faces: np.ndarray) -> np.ndarray:
 # boundary term
 # ---------------------------------------------------------------------------
 
-def _boundary_loss(scene, grad_img, seed, n_samples: int, max_depth: int,
-                   eps_px: float = 0.5):
-    """Differentiable scalar whose d/d(scene) equals the
-    primary-visibility boundary gradient contracted with ``grad_img``
-    (H, W, 3)."""
+def _boundary_terms(scene, grad_img, u_sq, smp, max_depth: int,
+                    eps_px: float):
+    """Per-sample primary-boundary contributions at sample-square
+    positions ``u_sq`` (N, 2) = (edge-CDF coordinate, edge position).
+
+    Returns (coef (N,) detached magnitude-carrying factor,
+    dirpart (N,) differentiable n_hat . p_img(theta)); the boundary
+    loss is sum(coef * dirpart) and |coef * dirpart| is the pilot
+    deposit for guiding."""
     g = scene.geom
     edges = g.edges
-    if edges is None or edges.shape[0] == 0:
-        return 0.0 * jnp.sum(g.verts)
     sg = jax.lax.stop_gradient
     W, H = scene.sensor.film_resolution
-    N = n_samples
+    N = u_sq.shape[0]
 
     v0 = g.verts[edges[:, 0]]
     v1 = g.verts[edges[:, 1]]
@@ -123,10 +127,8 @@ def _boundary_loss(scene, grad_img, seed, n_samples: int, max_depth: int,
     l_tot = jnp.sum(elen)
     cdf = jnp.cumsum(elen) / jnp.maximum(l_tot, 1e-20)
 
-    smp = Sampler.seed(jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x9E3779B9),
-                       N)
-    u_e, smp = smp.next_1d()
-    u_s, smp = smp.next_1d()
+    u_e = u_sq[:, 0]
+    u_s = u_sq[:, 1]
     ei = jnp.clip(jnp.searchsorted(cdf, u_e), 0, edges.shape[0] - 1)
     p0, p1 = v0[ei], v1[ei]
     x = (1.0 - u_s)[..., None] * p0 + u_s[..., None] * p1   # differentiable
@@ -189,8 +191,56 @@ def _boundary_loss(scene, grad_img, seed, n_samples: int, max_depth: int,
     coef = jnp.sum(dL * a_img, -1) * dpds * l_tot / (
         jnp.maximum(elen[ei], 1e-20) * N)
     coef = jnp.where(valid & jnp.isfinite(coef), sg(coef), 0.0)
+    return coef, jnp.sum(n_hat * p_img, -1)
 
-    return jnp.sum(coef * jnp.sum(n_hat * p_img, -1))
+
+def _boundary_loss(scene, grad_img, seed, n_samples: int, max_depth: int,
+                   eps_px: float = 0.5, guiding: str = "grid",
+                   guide_res: int = 32, pilot_frac: float = 0.25):
+    """Differentiable scalar whose d/d(scene) equals the
+    primary-visibility boundary gradient contracted with ``grad_img``
+    (H, W, 3).
+
+    ``guiding="grid"`` (default, reference ad/guiding.py GridDistr):
+    a pilot batch (pilot_frac of the budget) samples the boundary
+    square uniformly and deposits |contribution| into an anisotropic
+    grid over (edge-CDF, edge-position); the main batch then
+    importance-samples from the grid (a uniform floor keeps the
+    estimator unbiased).  ``guiding="none"`` is the uniform-by-length
+    estimator (the reference's fallback)."""
+    g = scene.geom
+    edges = g.edges
+    if edges is None or edges.shape[0] == 0:
+        return 0.0 * jnp.sum(g.verts)
+    sg = jax.lax.stop_gradient
+
+    if guiding == "grid":
+        from .guiding import GridDistr2D
+        n_pilot = max(int(n_samples * pilot_frac), 1)
+        n_main = max(n_samples - n_pilot, 1)
+        smp_p = Sampler.seed(
+            jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x5D1F),
+            n_pilot)
+        up, smp_p = smp_p.next_2d()
+        coef_p, dir_p = _boundary_terms(sg(scene), sg(grad_img), up,
+                                        smp_p, max_depth, eps_px)
+        grid = GridDistr2D.build(up, sg(jnp.abs(coef_p * dir_p)),
+                                 res_x=4 * guide_res, res_y=2)
+        smp = Sampler.seed(
+            jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x9E3779B9),
+            n_main)
+        um, smp = smp.next_2d()
+        u_sq, pdf = grid.sample(um)
+        coef, dirpart = _boundary_terms(scene, grad_img, sg(u_sq), smp,
+                                        max_depth, eps_px)
+        return jnp.sum(coef / sg(pdf) * dirpart)
+
+    smp = Sampler.seed(
+        jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x9E3779B9), n_samples)
+    u_sq, smp = smp.next_2d()
+    coef, dirpart = _boundary_terms(scene, grad_img, u_sq, smp,
+                                    max_depth, eps_px)
+    return jnp.sum(coef * dirpart)
 
 
 def _boundary_loss_indirect(scene, grad_img, seed, n_lanes: int,
@@ -338,8 +388,9 @@ def _bii_bwd(seed, n_lanes, max_depth, scene, grad_img):
 boundary_image_indirect.defvjp(_bii_fwd, _bii_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3))
-def boundary_image(scene, seed: int, n_samples: int, max_depth: int):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def boundary_image(scene, seed: int, n_samples: int, max_depth: int,
+                   guiding: str = "grid"):
     """Zero-valued (H, W, 3) image whose VJP carries the
     primary-visibility boundary gradient — add it to a PRB-rendered
     image to make silhouette motion differentiable:
@@ -350,14 +401,16 @@ def boundary_image(scene, seed: int, n_samples: int, max_depth: int):
     return jnp.zeros((H, W, 3))
 
 
-def _bi_fwd(scene, seed, n_samples, max_depth):
-    return boundary_image(scene, seed, n_samples, max_depth), scene
+def _bi_fwd(scene, seed, n_samples, max_depth, guiding):
+    return (boundary_image(scene, seed, n_samples, max_depth, guiding),
+            scene)
 
 
-def _bi_bwd(seed, n_samples, max_depth, scene, grad_img):
+def _bi_bwd(seed, n_samples, max_depth, guiding, scene, grad_img):
     d_scene = jax.grad(
         lambda sc: _boundary_loss(sc, grad_img, seed, n_samples,
-                                  max_depth), allow_int=True)(scene)
+                                  max_depth, guiding=guiding),
+        allow_int=True)(scene)
     return (d_scene,)
 
 
@@ -366,19 +419,23 @@ boundary_image.defvjp(_bi_fwd, _bi_bwd)
 
 def render_ad_projective(scene, spp: int = 16, seed: int = 0,
                          max_depth: int = 6, rr_depth: int = 5,
-                         sppp: int = None, sppi: int = 0, **kw):
+                         sppp: int = None, sppi: int = 0,
+                         guiding: str = "grid", **kw):
     """PRB interior gradients + visibility boundary gradients (the
     reference's prb_projective sppc + sppp + sppi terms).
 
     ``sppi`` > 0 adds the indirect boundary term with
-    sppi * W * H camera-walk lanes (0 keeps round-1 behavior)."""
+    sppi * W * H camera-walk lanes (0 keeps round-1 behavior).
+    ``guiding`` selects the primary-boundary sampling distribution:
+    "grid" (reference GridDistr pilot+grid importance sampling) or
+    "none" (uniform by edge length, the reference fallback)."""
     from .prb import render_ad
     W, H = scene.sensor.film_resolution
     n_b = (sppp or spp) * max(W, H) * 4   # samples along silhouettes
     img = render_ad(scene, spp=spp, seed=seed, max_depth=max_depth,
                     rr_depth=rr_depth, **kw)
     img = img + boundary_image(scene, int(seed) + 0x51, int(n_b),
-                               max_depth)
+                               max_depth, guiding)
     if sppi:
         img = img + boundary_image_indirect(scene, int(seed) + 0xA3,
                                             int(sppi * W * H), max_depth)

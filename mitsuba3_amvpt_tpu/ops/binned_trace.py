@@ -84,6 +84,12 @@ def pack_binned(p0, p1, p2):
     soa = jnp.concatenate([p0.T, (p1 - p0).T, (p2 - p0).T,
                            jnp.zeros((7, F), jnp.float32)], axis=0)
     soa = jnp.pad(soa, ((0, 0), (0, padt)))
+    # tile-major layout: one tile = one CONTIGUOUS (16, TILE) 8 KB
+    # block, so the sweep kernel's HBM->VMEM DMA is a single linear
+    # copy (the (16, F) layout made it a 16-row strided copy — the
+    # measured per-run latency bound)
+    soa = jnp.transpose(soa.reshape(16, (F + padt) // TILE, TILE),
+                        (1, 0, 2))
 
     def padv(a, fill):
         return jnp.pad(a, ((0, padt), (0, 0)), constant_values=fill)
@@ -188,35 +194,40 @@ def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
         progress = ok0
 
         # ---- one-hot tile-row fetch: (192, NSP) @ (NSP, 128)
-        oh = (ids_s == jnp.maximum(cur, 0.0)).astype(jnp.float32)
-        rows = jax.lax.dot_general(
-            tile_ref[:, :], oh, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)       # (192, 128)
+        def fetch_rows(cur):
+            oh = (ids_s == jnp.maximum(cur, 0.0)).astype(jnp.float32)
+            rows = jax.lax.dot_general(
+                tile_ref[:, :], oh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (192, 128)
 
-        def axis_tt(c, oc, ic):
-            lo = rows[c * SUPER:(c + 1) * SUPER, :]
-            hi = rows[(3 + c) * SUPER:(4 + c) * SUPER, :]
-            t0 = (lo - oc) * ic
-            t1 = (hi - oc) * ic
-            return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
+            def axis_tt(c, oc, ic):
+                lo = rows[c * SUPER:(c + 1) * SUPER, :]
+                hi = rows[(3 + c) * SUPER:(4 + c) * SUPER, :]
+                t0 = (lo - oc) * ic
+                t1 = (hi - oc) * ic
+                return jnp.minimum(t0, t1), jnp.maximum(t0, t1)
 
-        m0, g0 = axis_tt(0, ox, ix)
-        m1, g1 = axis_tt(1, oy, iy)
-        m2, g2 = axis_tt(2, oz, iz)
-        tn_t = jnp.maximum(jnp.maximum(m0, m1), jnp.maximum(m2, 0.0))
-        tf_t = jnp.minimum(jnp.minimum(g0, g1), g2)
-        gid_t = jnp.maximum(cur, 0.0) * float(SUPER) + ids_t
-        hit_t = ((tf_t >= tn_t) & (tn_t <= limit)
-                 & (gid_t < float(n_tiles_real)) & (cur >= 0.0))
+            m0, g0 = axis_tt(0, ox, ix)
+            m1, g1 = axis_tt(1, oy, iy)
+            m2, g2 = axis_tt(2, oz, iz)
+            tn_t = jnp.maximum(jnp.maximum(m0, m1), jnp.maximum(m2, 0.0))
+            tf_t = jnp.minimum(jnp.minimum(g0, g1), g2)
+            gid_t = jnp.maximum(cur, 0.0) * float(SUPER) + ids_t
+            hit_t = ((tf_t >= tn_t) & (tn_t <= limit)
+                     & (gid_t < float(n_tiles_real)) & (cur >= 0.0))
+            return tn_t, hit_t
 
-        # ---- K front-to-back tile emissions
+        tn_t, hit_t = fetch_rows(cur)
+
+        # ---- K front-to-back tile emissions; a lane that exhausts its
+        # supertile advances its super cursor and resumes at the next
+        # emission slot (the rows are refetched — one extra matmul)
         alive = ~done
-        advanced = jnp.zeros_like(alive)
         key_list = []
         for _k in range(k_emit):
             cand = (hit_t
                     & ((tn_t > lt_t) | ((tn_t == lt_t) & (ids_t > lt_i)))
-                    & alive & ~advanced)
+                    & alive)
             tv = jnp.where(cand, tn_t, _BIG)
             tt = jnp.min(tv, axis=0, keepdims=True)
             iv = jnp.where(cand & (tv <= tt), ids_t, _IBIG)
@@ -228,8 +239,7 @@ def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
             lt_t = jnp.where(emit, tt, lt_t)
             lt_i = jnp.where(emit, ti, lt_i)
             # exhausted lanes: advance the super cursor (cached slab)
-            # and pause until next round (their rows are now stale)
-            need2 = alive & ~advanced & ~emit
+            need2 = alive & ~emit
             st2, si2, oks = pick_super(ls_t, ls_i)
             adv = need2 & oks
             cur = jnp.where(adv, si2, cur)
@@ -239,8 +249,9 @@ def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
             lt_i = jnp.where(adv, -1.0, lt_i)
             done = done | (need2 & ~oks)
             alive = alive & ~(need2 & ~oks)
-            advanced = advanced | adv
             progress = progress | emit | adv
+            if _k + 1 < k_emit:
+                tn_t, hit_t = fetch_rows(cur)
 
         keys_ref[rl, :, :] = jnp.concatenate(key_list, axis=0)
         S_out_ref[rl, :, :] = jnp.concatenate([
@@ -284,12 +295,17 @@ def _select(S, sup_ab, tile_c, ns_real: int, n_tiles_real: int):
 # Pallas run-sweep kernel (unchanged architecture from v1)
 # ---------------------------------------------------------------------------
 
+NBUF = 4            # DMA ring depth (runs in flight)
+
+
 def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
                       t_ref, u_ref, v_ref, id_ref,
                       scratch, dma_sem, *, any_hit: bool):
     """One invocation covers NG_SW groups of GROUP lanes (block shapes
     need >= 8 sublanes).  Each group's lanes are sorted by tile id; the
-    group walks its runs: DMA the run's tile, dense MT sweep.
+    group walks its runs: DMA the run's tile (one contiguous 8 KB
+    block, NBUF-deep ring so ~3 transfers stay in flight ahead of the
+    sweep), dense MT sweep.
 
     All lanes of a group test every run tile (dense VPU cost equals a
     masked sweep, and Mosaic cannot reshape i1 vectors): lanes outside
@@ -306,12 +322,12 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
 
     def start_dma(slot, tid):
         pltpu.make_async_copy(
-            tris_hbm.at[:, pl.ds(tid * TILE, TILE)],
+            tris_hbm.at[jnp.maximum(tid, 0)],
             scratch.at[slot], dma_sem.at[slot]).start()
 
     def wait_dma(slot, tid):
         pltpu.make_async_copy(
-            tris_hbm.at[:, pl.ds(tid * TILE, TILE)],
+            tris_hbm.at[jnp.maximum(tid, 0)],
             scratch.at[slot], dma_sem.at[slot]).wait()
 
     def group(g):
@@ -385,32 +401,50 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
             v_ref[g, :] = jnp.where(upd, vk, v_ref[g, :])
             id_ref[g, :] = jnp.where(upd, base + k, id_ref[g, :])
 
+        def run_info_c(cursor):
+            """(tid, end) of the run starting at cursor; SENTINEL past
+            the block or on sentinel keys."""
+            tid, end = run_info(jnp.minimum(cursor, B - 1))
+            tid = jnp.where(cursor < B, tid, jnp.int32(SENTINEL))
+            end = jnp.where(cursor < B, end, jnp.int32(B))
+            return tid, end
+
         @pl.when(at(tids, 0) != SENTINEL)
         def _():
-            tid0, end0 = run_info(0)
-            start_dma(0, tid0)
+            # warmup: resolve the first NBUF runs, start their DMAs
+            ring = []
+            cur = jnp.int32(0)
+            for j in range(NBUF):
+                tj, ej = run_info_c(cur)
+
+                @pl.when(tj != SENTINEL)
+                def _(tj=tj, j=j):
+                    start_dma(j, tj)
+
+                ring.append(tj)
+                ring.append(ej)
+                cur = ej
 
             def body(carry):
-                i, cursor, tid, end = carry
-                slot = i % 2
-                more = (end < B) & (at(tids, jnp.minimum(end, B - 1))
-                                    != SENTINEL)
-                nxt_tid, nxt_end = run_info(jnp.minimum(end, B - 1))
-
-                @pl.when(more)
-                def _():
-                    start_dma(1 - slot, nxt_tid)
-
+                i = carry[0]
+                ring = carry[1:]
+                tid, end = ring[0], ring[1]
+                slot = i % NBUF
                 wait_dma(slot, tid)
                 sweep(slot, tid)
-                return (i + 1, end, nxt_tid, nxt_end)
+                # refill the slot with run i+NBUF (kept NBUF-1 ahead)
+                t_n, e_n = run_info_c(ring[-1])
+
+                @pl.when(t_n != SENTINEL)
+                def _():
+                    start_dma(slot, t_n)
+
+                return (i + 1,) + tuple(ring[2:]) + (t_n, e_n)
 
             def cond(carry):
-                i, cursor, tid, end = carry
-                return (cursor < B) & (tid != SENTINEL)
+                return carry[1] != SENTINEL
 
-            jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0),
-                                            tid0, end0))
+            jax.lax.while_loop(cond, body, (jnp.int32(0), *ring))
 
     for g in range(NG_SW):
         group(g)
@@ -446,8 +480,8 @@ def _run_sweep(rays8, tids, tri_soa, any_hit: bool):
             jax.ShapeDtypeStruct((n // GROUP, GROUP), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 16, TILE), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((NBUF, 16, TILE), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
     )(rays8, tids.reshape(n // GROUP, GROUP), tri_soa)
@@ -480,17 +514,22 @@ def _round_body(carry, soa, sup_ab, tile_c, ns_real, n_tiles_real,
     rows8 = ray_rows[lane_of].T                       # (8, K*N)
     t_s, u_s, v_s, id_s = _run_sweep(rows8, skey, soa, any_hit)
 
-    res = jnp.stack([jnp.where(t_s >= _BIG * 0.5, jnp.inf, t_s),
-                     u_s, v_s, id_s.astype(jnp.float32)], axis=1)
-    res = jnp.zeros((K_EMIT * npad, 4)).at[sslot].set(res)
-    res = res.reshape(K_EMIT, npad, 4)
-    kbest = jnp.argmin(res[:, :, 0], axis=0)
-    rbest = jnp.take_along_axis(res, kbest[None, :, None], 0)[0]
-    upd = rbest[:, 0] < bt
-    bt = jnp.where(upd, rbest[:, 0], bt)
-    bu = jnp.where(upd, rbest[:, 1], bu)
-    bv = jnp.where(upd, rbest[:, 2], bv)
-    bid = jnp.where(upd, rbest[:, 3].astype(jnp.int32), bid)
+    # un-sort by a second key sort (a slot-indexed scatter measured
+    # ~21 ms per round on TPU — the sort is ~10x cheaper)
+    _, t_o, u_o, v_o, id_o = jax.lax.sort(
+        [sslot, t_s, u_s, v_s, id_s], num_keys=1)
+    t_o = jnp.where(t_o >= _BIG * 0.5, jnp.inf, t_o).reshape(K_EMIT, npad)
+    u_o = u_o.reshape(K_EMIT, npad)
+    v_o = v_o.reshape(K_EMIT, npad)
+    id_o = id_o.reshape(K_EMIT, npad)
+    kbest = jnp.argmin(t_o, axis=0)
+    tt_c = jnp.take_along_axis(t_o, kbest[None], 0)[0]
+    upd = tt_c < bt
+    bt = jnp.where(upd, tt_c, bt)
+    bu = jnp.where(upd, jnp.take_along_axis(u_o, kbest[None], 0)[0], bu)
+    bv = jnp.where(upd, jnp.take_along_axis(v_o, kbest[None], 0)[0], bv)
+    bid = jnp.where(upd, jnp.take_along_axis(id_o, kbest[None], 0)[0],
+                    bid)
 
     # write back limit (+ any-hit early-done) into the state
     limit = jnp.minimum(

@@ -98,7 +98,11 @@ def _basis_correction():
     for j in range(3):
         xyz = (B[:, j:j + 1] * obs).mean(0) / white[1] * vk
         M[:, j] = XYZ2RGB @ xyz
-    return jnp.asarray(np.linalg.inv(M), jnp.float32)
+    # return NUMPY (not jnp): this function is lru_cached, and a
+    # jnp.asarray executed during a jit trace would cache a tracer
+    # that leaks into later traces (UnexpectedTracerError, test-order
+    # dependent); the conversion happens at the use site instead
+    return np.linalg.inv(M).astype(np.float32)
 
 
 def upsample(rgb, basis):

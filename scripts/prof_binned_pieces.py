@@ -110,24 +110,25 @@ def main():
     t_s, u_s, v_s, id_s = res4
 
     def domerge(t_s, u_s, v_s, id_s, sslot):
-        res = jnp.stack([jnp.where(t_s >= 3e38 * 0.5, jnp.inf, t_s),
-                         u_s, v_s, id_s.astype(jnp.float32)], axis=1)
-        res = jnp.zeros((K * npad, 4)).at[sslot].set(res)
-        res = res.reshape(K, npad, 4)
-        kbest = jnp.argmin(res[:, :, 0], axis=0)
-        return jnp.take_along_axis(res, kbest[None, :, None], 0)[0]
-    timeit("scatter+merge", jax.jit(domerge), t_s, u_s, v_s, id_s, sslot)
+        _, t_o, u_o, v_o, id_o = jax.lax.sort(
+            [sslot, t_s, u_s, v_s, id_s], num_keys=1)
+        t_o = t_o.reshape(K, npad)
+        kbest = jnp.argmin(t_o, axis=0)
+        return (jnp.take_along_axis(t_o, kbest[None], 0)[0],
+                jnp.take_along_axis(u_o.reshape(K, npad), kbest[None], 0),
+                jnp.take_along_axis(id_o.reshape(K, npad), kbest[None], 0))
+    timeit("unsort+merge", jax.jit(domerge), t_s, u_s, v_s, id_s, sslot)
 
     # full trace end-to-end
     def full(o, dd, maxt):
         return bt.ray_triangles_binned(o, dd, maxt, soa, sup_ab, tile_c,
                                        ns, nt)
-    tt = timeit("FULL closest", jax.jit(full), o, dd, maxt, reps=3)
+    jfull = jax.jit(full)
+    tt = timeit("FULL closest", jfull, o, dd, maxt, reps=3)
     print("hit frac", float(jnp.isfinite(tt[0]).mean()), flush=True)
-    rate = 0
     t0 = time.perf_counter()
     for i in range(3):
-        r = full(o + 1e-4 * i, dd, maxt)
+        r = jfull(o, dd, maxt)
     jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / 3
     print(f"closest-hit incoherent: {n/dt/1e6:.2f} Mrays/s", flush=True)
@@ -135,10 +136,11 @@ def main():
     def fullah(o, dd, maxt):
         return bt.ray_triangles_binned(o, dd, maxt, soa, sup_ab, tile_c,
                                        ns, nt, any_hit=True)
-    timeit("FULL any-hit", jax.jit(fullah), o, dd, maxt, reps=3)
+    jah = jax.jit(fullah)
+    timeit("FULL any-hit", jah, o, dd, maxt, reps=3)
     t0 = time.perf_counter()
     for i in range(3):
-        r = fullah(o + 1e-4 * i, dd, maxt)
+        r = jah(o, dd, maxt)
     jax.block_until_ready(r)
     dt = (time.perf_counter() - t0) / 3
     print(f"any-hit incoherent:     {n/dt/1e6:.2f} Mrays/s", flush=True)

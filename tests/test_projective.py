@@ -102,3 +102,72 @@ class TestPrimaryBoundary:
         img = boundary_image(sc, 0, 256, 2)
         assert img.shape == (64, 64, 3)
         assert float(jnp.abs(img).max()) == 0.0
+
+
+def _occluder_scene_cluttered(shift_x=0.0):
+    """Occluder + a finely tessellated OFFSCREEN mesh: most edge length
+    is non-silhouette clutter, so uniform-by-length edge sampling
+    wastes most of its budget (the configuration grid guiding exists
+    for, reference ad/guiding.py GridDistr)."""
+    import numpy as np
+    n = 24
+    xs = np.linspace(-3.0, 3.0, n)
+    vv = np.stack(np.meshgrid(xs, xs, indexing="ij"), -1).reshape(-1, 2)
+    verts = np.concatenate([vv, np.full((len(vv), 1), 9.0)], 1)
+    idx = np.arange(n * n).reshape(n, n)
+    f = []
+    for i in range(n - 1):
+        a, b = idx[i], idx[i + 1]
+        f.append(np.stack([a[:-1], b[:-1], b[1:]], -1))
+        f.append(np.stack([a[:-1], b[1:], a[1:]], -1))
+    faces = np.concatenate(f, 0).astype(np.int32)
+    d = {
+        "type": "scene",
+        "sensor": {"type": "perspective", "fov": 40,
+                   "to_world": {"lookat": {
+                       "origin": [0, 0, 4], "target": [0, 0, 0],
+                       "up": [0, 1, 0]}},
+                   "film": {"type": "hdrfilm", "width": 64, "height": 64,
+                            "rfilter": {"type": "box"}}},
+        "bg": {"type": "constant", "radiance": 1.0},
+        "occ": {"type": "rectangle",
+                "to_world": {"translate": [shift_x, 0.0, 0.0],
+                             "scale": 0.6},
+                "bsdf": {"type": "diffuse", "reflectance": 0.0}},
+        # behind the camera: never visible, pure edge clutter
+        "clutter": {"type": "trimesh", "vertices": verts, "faces": faces,
+                    "to_world": {"translate": [0, 0, -4.0]},
+                    "bsdf": {"type": "diffuse", "reflectance": 0.0}},
+    }
+    return mt.load_dict(d)
+
+
+class TestGridGuiding:
+    @pytest.mark.slow
+    def test_variance_reduction_and_unbiasedness(self):
+        """Grid guiding must cut boundary-gradient variance on a scene
+        where silhouette edges are a small fraction of edge length,
+        without shifting the mean (VERDICT r2 item 5)."""
+        sc = _occluder_scene_cluttered()
+        n_total = 3072
+
+        def grad_for(seed, guiding):
+            def loss(dx):
+                verts = sc.geom.verts + jnp.asarray([dx, 0.0, 0.0])
+                s2 = sc.replace(geom=sc.geom.replace(verts=verts))
+                img = boundary_image(s2, seed, n_total, 2, guiding)
+                return _loss(img)
+            return float(jax.grad(loss)(jnp.asarray(0.0)))
+
+        seeds = range(11, 17)
+        g_u = np.array([grad_for(s, "none") for s in seeds])
+        g_g = np.array([grad_for(s, "grid") for s in seeds])
+
+        # unbiasedness: both estimate the same boundary gradient
+        ref = g_u.mean()
+        assert abs(ref) > 1e-5
+        assert abs(g_g.mean() - ref) < 0.35 * abs(ref), (g_g.mean(), ref)
+        # variance: guided must be at least ~2.5x lower here (the
+        # clutter consumes >80% of the uniform budget)
+        vr = g_u.var() / max(g_g.var(), 1e-18)
+        assert vr > 2.5, f"variance ratio {vr:.2f} (uniform/guided)"
