@@ -81,13 +81,19 @@ def pack_binned(p0, p1, p2):
     """
     F = p0.shape[0]
     padt = (-F) % (TILE * SUPER)
+    # rows 0-2 p0, 3-5 e1, 6-8 e2 — classic Moller-Trumbore operands.
+    # (A plane-equation + barycentric-gradient variant was tried and
+    # REVERTED: its per-tri gradient vectors scale as 1/|n|, so sliver
+    # triangles — uv-sphere poles — produced false near-zero hits and
+    # real misses on TPU at the ~0.3% level.  MT keeps every
+    # intermediate at edge/ray scale and matches the brute reference
+    # bit-for-bit.)
     soa = jnp.concatenate([p0.T, (p1 - p0).T, (p2 - p0).T,
                            jnp.zeros((7, F), jnp.float32)], axis=0)
     soa = jnp.pad(soa, ((0, 0), (0, padt)))
     # tile-major layout: one tile = one CONTIGUOUS (16, TILE) 8 KB
     # block, so the sweep kernel's HBM->VMEM DMA is a single linear
-    # copy (the (16, F) layout made it a 16-row strided copy — the
-    # measured per-run latency bound)
+    # copy (the (16, F) layout made it a 16-row strided copy)
     soa = jnp.transpose(soa.reshape(16, (F + padt) // TILE, TILE),
                         (1, 0, 2))
 
@@ -193,11 +199,16 @@ def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
         done = done | (need & ~ok)
         progress = ok0
 
-        # ---- one-hot tile-row fetch: (192, NSP) @ (NSP, 128)
+        # ---- one-hot tile-row fetch: (192, NSP) @ (NSP, 128).
+        # Precision.HIGHEST is load-bearing: the MXU's default bf16
+        # input rounding shrinks/shifts the fetched tile AABBs, and a
+        # ray grazing a tile boundary then skips the tile — measured as
+        # ~1e-4 false misses on the 120k-tri validation scene.
         def fetch_rows(cur):
             oh = (ids_s == jnp.maximum(cur, 0.0)).astype(jnp.float32)
             rows = jax.lax.dot_general(
                 tile_ref[:, :], oh, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)   # (192, 128)
 
             def axis_tt(c, oc, ic):
@@ -262,9 +273,11 @@ def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
 
 
 def _select(S, sup_ab, tile_c, ns_real: int, n_tiles_real: int):
+    import os
     nb = S.shape[0]
     grid = (nb // RL,)
-    interpret = jax.default_backend() != "tpu"
+    interpret = (jax.default_backend() != "tpu"
+                 or bool(os.environ.get("MT_INTERPRET_SELECT")))
     kernel = functools.partial(_select_kernel, ns_real=ns_real,
                                n_tiles_real=n_tiles_real, k_emit=K_EMIT)
     keys, S_new = pl.pallas_call(
@@ -299,13 +312,16 @@ NBUF = 4            # DMA ring depth (runs in flight)
 
 
 def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
-                      t_ref, u_ref, v_ref, id_ref,
+                      t_ref, id_ref,
                       scratch, dma_sem, *, any_hit: bool):
     """One invocation covers NG_SW groups of GROUP lanes (block shapes
     need >= 8 sublanes).  Each group's lanes are sorted by tile id; the
     group walks its runs: DMA the run's tile (one contiguous 8 KB
     block, NBUF-deep ring so ~3 transfers stay in flight ahead of the
-    sweep), dense MT sweep.
+    sweep), dense Moller-Trumbore sweep.
+
+    Only (t, id) are tracked; the driver reconstructs u,v once per
+    lane from the winning triangle after tracing completes.
 
     All lanes of a group test every run tile (dense VPU cost equals a
     masked sweep, and Mosaic cannot reshape i1 vectors): lanes outside
@@ -314,11 +330,8 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
     B = GROUP
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).reshape(B)
 
-    for g in range(NG_SW):
-        t_ref[g, :] = jnp.full((B,), _BIG)
-        u_ref[g, :] = jnp.zeros((B,))
-        v_ref[g, :] = jnp.zeros((B,))
-        id_ref[g, :] = jnp.full((B,), -1, jnp.int32)
+    t_ref[:, :] = jnp.full(t_ref.shape, _BIG)
+    id_ref[:, :] = jnp.full(id_ref.shape, -1, jnp.int32)
 
     def start_dma(slot, tid):
         pltpu.make_async_copy(
@@ -391,15 +404,8 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
             k = jnp.argmin(t, axis=1)
             tk = jnp.min(t, axis=1)
             upd = tk < bt
-            cols = jax.lax.broadcasted_iota(jnp.int32, (B, TILE), 1)
-            sel = cols == k[:, None]
-            uk = jnp.sum(jnp.where(sel, u, 0.0), axis=1)
-            vk = jnp.sum(jnp.where(sel, v, 0.0), axis=1)
-            base = tid * TILE
             t_ref[g, :] = jnp.where(upd, tk, bt)
-            u_ref[g, :] = jnp.where(upd, uk, u_ref[g, :])
-            v_ref[g, :] = jnp.where(upd, vk, v_ref[g, :])
-            id_ref[g, :] = jnp.where(upd, base + k, id_ref[g, :])
+            id_ref[g, :] = jnp.where(upd, tid * TILE + k, id_ref[g, :])
 
         def run_info_c(cursor):
             """(tid, end) of the run starting at cursor; SENTINEL past
@@ -451,19 +457,19 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
 
 
 def _run_sweep(rays8, tids, tri_soa, any_hit: bool):
-    """rays8 (8, N) sorted lanes; tids (N,) i32 sorted tile keys.
-
-    Lane vectors are reshaped (N//GROUP, GROUP) so every operand/result
-    block is 2D with a 128-lane minor dim — XLA's 1D layout tiling
-    (T(1024)) does not match Mosaic's (T(128)) for flat arrays."""
+    """rays8 (8, N) sorted slot columns (ox oy oz dx dy dz lim lim);
+    tids (N,) i32 sorted tile keys.  Returns (t (N,), id (N,)) —
+    best-t and global clustered prim id (-1 on miss)."""
     n = rays8.shape[1]
     blk = NG_SW * GROUP
     grid = (n // blk,)
     lane_spec = pl.BlockSpec((NG_SW, GROUP), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
+    import os
     kernel = functools.partial(_run_sweep_kernel, any_hit=any_hit)
-    interpret = jax.default_backend() != "tpu"
-    t, u, v, pid = pl.pallas_call(
+    interpret = (jax.default_backend() != "tpu"
+                 or bool(os.environ.get("MT_INTERPRET_SWEEP")))
+    t, pid = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -472,10 +478,8 @@ def _run_sweep(rays8, tids, tri_soa, any_hit: bool):
             lane_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[lane_spec, lane_spec, lane_spec, lane_spec],
+        out_specs=[lane_spec, lane_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n // GROUP, GROUP), jnp.float32),
-            jax.ShapeDtypeStruct((n // GROUP, GROUP), jnp.float32),
             jax.ShapeDtypeStruct((n // GROUP, GROUP), jnp.float32),
             jax.ShapeDtypeStruct((n // GROUP, GROUP), jnp.int32),
         ],
@@ -485,7 +489,7 @@ def _run_sweep(rays8, tids, tri_soa, any_hit: bool):
         ],
         interpret=interpret,
     )(rays8, tids.reshape(n // GROUP, GROUP), tri_soa)
-    return (t.reshape(n), u.reshape(n), v.reshape(n), pid.reshape(n))
+    return (t.reshape(n), pid.reshape(n))
 
 
 # ---------------------------------------------------------------------------
@@ -499,7 +503,7 @@ _RAY_CH = [_CH["o"], _CH["o"] + 1, _CH["o"] + 2,
 
 def _round_body(carry, soa, sup_ab, tile_c, ns_real, n_tiles_real,
                 any_hit):
-    S, bt, bu, bv, bid, orig, rounds = carry
+    S, bt, bid, orig, rounds = carry
     npad = S.shape[0] * GROUP
     keys, S = _select(S, sup_ab, tile_c, ns_real, n_tiles_real)
 
@@ -511,23 +515,17 @@ def _round_body(carry, soa, sup_ab, tile_c, ns_real, n_tiles_real,
 
     ray_rows = jnp.moveaxis(S[:, jnp.array(_RAY_CH), :], 1, 2)
     ray_rows = ray_rows.reshape(npad, 8)
-    rows8 = ray_rows[lane_of].T                       # (8, K*N)
-    t_s, u_s, v_s, id_s = _run_sweep(rows8, skey, soa, any_hit)
+    t_s, id_s = _run_sweep(ray_rows[lane_of].T, skey, soa, any_hit)
 
     # un-sort by a second key sort (a slot-indexed scatter measured
     # ~21 ms per round on TPU — the sort is ~10x cheaper)
-    _, t_o, u_o, v_o, id_o = jax.lax.sort(
-        [sslot, t_s, u_s, v_s, id_s], num_keys=1)
+    _, t_o, id_o = jax.lax.sort([sslot, t_s, id_s], num_keys=1)
     t_o = jnp.where(t_o >= _BIG * 0.5, jnp.inf, t_o).reshape(K_EMIT, npad)
-    u_o = u_o.reshape(K_EMIT, npad)
-    v_o = v_o.reshape(K_EMIT, npad)
     id_o = id_o.reshape(K_EMIT, npad)
     kbest = jnp.argmin(t_o, axis=0)
     tt_c = jnp.take_along_axis(t_o, kbest[None], 0)[0]
     upd = tt_c < bt
     bt = jnp.where(upd, tt_c, bt)
-    bu = jnp.where(upd, jnp.take_along_axis(u_o, kbest[None], 0)[0], bu)
-    bv = jnp.where(upd, jnp.take_along_axis(v_o, kbest[None], 0)[0], bv)
     bid = jnp.where(upd, jnp.take_along_axis(id_o, kbest[None], 0)[0],
                     bid)
 
@@ -538,7 +536,7 @@ def _round_body(carry, soa, sup_ab, tile_c, ns_real, n_tiles_real,
     if any_hit:
         hitf = (bid >= 0).astype(jnp.float32).reshape(-1, GROUP)
         S = S.at[:, _CH["done"], :].max(hitf)
-    return (S, bt, bu, bv, bid, orig, rounds + 1)
+    return (S, bt, bid, orig, rounds + 1)
 
 
 def _active_count(S):
@@ -551,15 +549,14 @@ def _progressed(S):
 
 def _compact(carry, new_n):
     """Sort lanes by done flag (active first) and shrink to new_n."""
-    S, bt, bu, bv, bid, orig, rounds = carry
+    S, bt, bid, orig, rounds = carry
     n = S.shape[0] * GROUP
     done = (S[:, _CH["done"], :].reshape(n) > 0.5).astype(jnp.int32)
     perm = jnp.argsort(done, stable=True)[:new_n]
     S_flat = jnp.moveaxis(S, 1, 2).reshape(n, NCH)
     S_new = jnp.moveaxis(
         S_flat[perm].reshape(new_n // GROUP, GROUP, NCH), 2, 1)
-    return (S_new, bt[perm], bu[perm], bv[perm], bid[perm], orig[perm],
-            rounds)
+    return (S_new, bt[perm], bid[perm], orig[perm], rounds)
 
 
 @functools.partial(jax.jit,
@@ -604,9 +601,8 @@ def ray_triangles_binned(o, d, maxt, tri_soa, sup_ab, tile_c,
     S = jnp.moveaxis(
         jnp.stack(chans, 0).reshape(NCH, npad // GROUP, GROUP), 0, 1)
 
-    carry = (S,
-             jnp.full((npad,), jnp.inf), jnp.zeros((npad,)),
-             jnp.zeros((npad,)), jnp.full((npad,), -1, jnp.int32),
+    carry = (S, jnp.full((npad,), jnp.inf),
+             jnp.full((npad,), -1, jnp.int32),
              jnp.arange(npad, dtype=jnp.int32), jnp.int32(0))
 
     max_rounds = n_tiles_real + ns_real + 8
@@ -614,16 +610,16 @@ def ray_triangles_binned(o, d, maxt, tri_soa, sup_ab, tile_c,
                              tile_c=tile_c, ns_real=ns_real,
                              n_tiles_real=n_tiles_real, any_hit=any_hit)
 
-    # stage sizes: full -> 1/4 -> 1/16 (multiples of one select block)
+    # stage sizes: full -> 1/2 -> 1/4 -> 1/16 (multiples of one select
+    # block); compaction costs ~2 ms at full wavefront vs ~10+ ms for
+    # a full-size round, so compact as soon as half the lanes are done
     sizes = [npad]
-    for f in (4, 16):
+    for f in (2, 4, 16):
         s = max((npad // f) // blk * blk, blk)
         if s < sizes[-1]:
             sizes.append(s)
 
     res_t = jnp.full((npad,), jnp.inf)
-    res_u = jnp.zeros((npad,))
-    res_v = jnp.zeros((npad,))
     res_id = jnp.full((npad,), -1, jnp.int32)
 
     for si, size in enumerate(sizes):
@@ -632,16 +628,30 @@ def ray_triangles_binned(o, d, maxt, tri_soa, sup_ab, tile_c,
         thr = sizes[si + 1] if si + 1 < len(sizes) else 0
 
         def cond(c, thr=thr):
-            S_c, rounds = c[0], c[6]
+            S_c, rounds = c[0], c[4]
             return (_progressed(S_c) & (rounds < max_rounds)
                     & (_active_count(S_c) > thr))
 
         carry = jax.lax.while_loop(cond, lambda c: body(c), carry)
-        _, bt, bu, bv, bid, orig, _ = carry
+        _, bt, bid, orig, _ = carry
         res_t = res_t.at[orig].set(bt)
-        res_u = res_u.at[orig].set(bu)
-        res_v = res_v.at[orig].set(bv)
         res_id = res_id.at[orig].set(bid)
 
-    t = jnp.where(res_id >= 0, res_t, jnp.inf)
-    return (t[:n], res_u[:n], res_v[:n], res_id[:n])
+    # u,v reconstruction — once per lane, after tracing (the sweep
+    # kernel only tracks t+id); same Moller-Trumbore math as the sweep
+    tid = jnp.maximum(res_id, 0) // TILE
+    col = jnp.maximum(res_id, 0) % TILE
+    rows = tri_soa[tid, :, col]                       # (npad, 16)
+    p0l, e1l, e2l = rows[:, 0:3], rows[:, 3:6], rows[:, 6:9]
+    pv = jnp.cross(d, e2l)
+    det = jnp.sum(e1l * pv, -1)
+    invd = jnp.where(jnp.abs(det) > 1e-12,
+                     1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    tvv = o - p0l
+    uu = jnp.sum(tvv * pv, -1) * invd
+    vv = jnp.sum(d * jnp.cross(tvv, e1l), -1) * invd
+    hit = res_id >= 0
+    uu = jnp.where(hit, uu, 0.0)
+    vv = jnp.where(hit, vv, 0.0)
+    t = jnp.where(hit, res_t, jnp.inf)
+    return (t[:n], uu[:n], vv[:n], res_id[:n])

@@ -94,13 +94,18 @@ def render_sharded(scene, mesh: Mesh, spp: int = 16, seed: int = 0,
                          in_specs=(P(), P()), out_specs=P(),
                          check_vma=False)(scene_in, seed_in)
 
+    # lanes must divide evenly across devices: per-pass spp granularity
+    q = n_dev // math.gcd(W * H, n_dev)
+    spp_per_pass = max(q, spp_per_pass // q * q)
     acc = film_prepare(scene.film)
     done, i = 0, 0
     while done < spp:
         sp = min(spp_per_pass, spp - done)
-        # lanes must divide evenly across devices
-        while (W * H * sp) % n_dev != 0:
-            sp += 1
+        if sp % q:
+            sp = -(-sp // q) * q      # final-pass round-up, reported
+            logging.getLogger(__name__).info(
+                "render_sharded: final pass rounded %d -> %d spp",
+                spp - done, sp)
         acc = acc + one_pass(scene, jnp.uint32(seed + sp * i + done), sp)
         done += sp
         i += 1
@@ -174,7 +179,7 @@ def _mvpath_shard_body(scene, seed, spp_pass, S, n_vdev, n_rdev,
 def render_mvpath_sharded(scene, mesh: Mesh, spp: int = 16, seed: int = 0,
                           max_depth: int = 6, rr_depth: int = 5,
                           reuse_count: int = 0, sa_mis: bool = True,
-                          fast_mis: bool = True, raw: bool = False):
+                          fast_mis: bool = False, raw: bool = False):
     """AMVPT multi-view render over a 2D (views, rays) mesh.
 
     The quilt's views shard over the leading mesh axis, rays/pixels

@@ -197,3 +197,20 @@ def film_develop(acc, raw: bool = False):
         return acc
     w = acc[..., -1:]
     return acc[..., :-1] / jnp.where(w == 0.0, 1.0, w)
+
+
+def kahan_add(acc, comp, delta):
+    """Error-compensated accumulation step (Kahan-Neumaier), the
+    reference ImageBlock's ``compensate`` option
+    (include/mitsuba/render/imageblock.h:108-114 +
+    src/films/hdrfilm.cpp:227): fp32 accumulators at high spp x many
+    passes lose low-order bits; carrying the rounding residual in a
+    twin ``comp`` tensor restores ~fp64-grade sums at fp32 cost.
+
+    Returns (acc', comp').  Relies on XLA's default strict fp semantics
+    (no reassociation), which JAX guarantees without fast-math flags.
+    """
+    y = delta - comp
+    t = acc + y
+    comp = (t - acc) - y
+    return t, comp

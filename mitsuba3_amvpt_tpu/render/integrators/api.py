@@ -139,38 +139,54 @@ def render_pass(scene, acc, seed, spp_pass: int, integrator: str = "path",
 @functools.partial(jax.jit, static_argnames=("integrator", "max_depth",
                                              "rr_depth", "spp_pass",
                                              "n_passes", "sampler_mode",
-                                             "spp_total", "develop"),
+                                             "spp_total", "develop",
+                                             "compensate"),
                    donate_argnames=("acc",))
 def render_passes(scene, acc, seed, n_passes: int, spp_pass: int,
                   integrator: str = "path", max_depth: int = 6,
                   rr_depth: int = 5, sampler_mode: str = "independent",
-                  spp_total: int = None, develop: bool = True):
+                  spp_total: int = None, develop: bool = True,
+                  compensate: bool = False):
     """n_passes equal passes + optional develop fused into ONE XLA
     program (one device dispatch).  The per-dispatch latency of a
     remote-attached TPU (~25 ms on the axon relay) otherwise multiplies
     with the pass count; lax.fori_loop also compiles the pass body once
     instead of once per pass.  Seeds replicate the Python loop in
     ``render``: pass i uses seed + spp_pass*i + done, done = spp_pass*i
-    (mvpath.cpp:227 discipline)."""
-    from ..film import film_develop
+    (mvpath.cpp:227 discipline).
 
-    def body(i, acc):
+    ``compensate=True`` Kahan-accumulates the per-pass deltas
+    (reference ImageBlock ``compensate``, imageblock.h:108-114): at
+    high pass counts fp32 accumulation loses low-order bits."""
+    from ..film import film_develop, kahan_add
+
+    def one_pass(i, acc_i):
         done = spp_pass * i
         pass_seed = jnp.uint32(seed + spp_pass * i + done) \
             if sampler_mode == "independent" else jnp.uint32(seed)
         return render_pass.__wrapped__(
-            scene, acc, pass_seed, spp_pass, integrator, max_depth,
+            scene, acc_i, pass_seed, spp_pass, integrator, max_depth,
             rr_depth, sampler_mode=sampler_mode,
             sample_base=jnp.uint32(done),
             spp_total=spp_total or spp_pass * n_passes)
 
-    acc = jax.lax.fori_loop(0, n_passes, body, acc)
+    if compensate:
+        def body(i, carry):
+            acc_c, comp = carry
+            delta = one_pass(i, jnp.zeros_like(acc_c))
+            return kahan_add(acc_c, comp, delta)
+
+        acc, _ = jax.lax.fori_loop(0, n_passes, body,
+                                   (acc, jnp.zeros_like(acc)))
+    else:
+        acc = jax.lax.fori_loop(0, n_passes, one_pass, acc)
     return film_develop.__wrapped__(acc) if develop else acc
 
 
 def render(scene, spp: int = 16, seed: int = 0, integrator: str = "path",
            max_depth: int = 6, rr_depth: int = 5, spp_per_pass: int = None,
-           sampler: str = "independent", raw: bool = False):
+           sampler: str = "independent", raw: bool = False,
+           compensate: bool = False):
     """Full render -> (H, W, 3) image (mi.render equivalent, primal).
 
     Pass seeds follow the reference discipline: per-pass seed =
@@ -196,7 +212,7 @@ def render(scene, spp: int = 16, seed: int = 0, integrator: str = "path",
         acc = render_passes(scene, acc, jnp.uint32(seed), n_full,
                             spp_per_pass, integrator, max_depth, rr_depth,
                             sampler_mode=sampler, spp_total=spp,
-                            develop=False)
+                            develop=False, compensate=compensate)
     done = n_full * spp_per_pass
     if done < spp:   # remainder pass (different static wavefront size)
         sp = spp - done

@@ -517,7 +517,7 @@ def render_mvpath(scene, spp: int = 16, seed: int = 0, max_depth: int = 6,
                   rr_depth: int = 5, reuse_count: int = 0,
                   sa_reuse: bool = True, sa_mis: bool = True,
                   n_adapt: int = 0, spp_per_pass: int = None,
-                  raw: bool = False, fast_mis: bool = True):
+                  raw: bool = False, fast_mis: bool = False):
     """Multi-view render driver (MVPathIntegrator::render mvpath.cpp:7).
 
     The per-pass wavefront budget divides by the reuse-group size S: the
@@ -526,12 +526,11 @@ def render_mvpath(scene, spp: int = 16, seed: int = 0, max_depth: int = 6,
 
     ``fast_mis`` selects the GGX closed-form material-similarity proxy
     (tv_pdf_fast) vs the evaluated TV distance (tv_pdf_exact,
-    mvpath.h:276-293).  The reference DEFAULTS to exact (mvpath.h:126);
-    we default to fast because exact adds 2+S batched BSDF pdf
-    dispatches per pass — on TPU that is the dominant marginal cost,
-    and for the GGX-family materials of the benchmark scenes the proxy
-    is near-exact.  Route principled/hair/measured-heavy multi-view
-    scenes through fast_mis=False for the reference's reuse behavior."""
+    mvpath.h:276-293).  The default matches the reference (exact,
+    mvpath.h:126).  fast_mis=True is the opt-in TPU optimization:
+    exact adds 2+S batched BSDF pdf dispatches per pass, and for
+    GGX-family materials the proxy is near-exact (A/B-tested in
+    tests/test_mvpath.py)."""
     W, H = scene.sensor.film_resolution
     N_views = scene.sensor.n_sensors
     S = reuse_group_size(N_views, reuse_count) if (sa_reuse and N_views > 1) \

@@ -105,19 +105,15 @@ def main():
 
     def dosweep(rows8, skey):
         return bt._run_sweep(rows8, skey, soa, False)
-    res4 = timeit("sweep", jax.jit(dosweep), rows8, skey)
+    t_s, id_s = timeit("sweep", jax.jit(dosweep), rows8, skey)
 
-    t_s, u_s, v_s, id_s = res4
-
-    def domerge(t_s, u_s, v_s, id_s, sslot):
-        _, t_o, u_o, v_o, id_o = jax.lax.sort(
-            [sslot, t_s, u_s, v_s, id_s], num_keys=1)
+    def domerge(t_s, id_s, sslot):
+        _, t_o, id_o = jax.lax.sort([sslot, t_s, id_s], num_keys=1)
         t_o = t_o.reshape(K, npad)
         kbest = jnp.argmin(t_o, axis=0)
         return (jnp.take_along_axis(t_o, kbest[None], 0)[0],
-                jnp.take_along_axis(u_o.reshape(K, npad), kbest[None], 0),
                 jnp.take_along_axis(id_o.reshape(K, npad), kbest[None], 0))
-    timeit("unsort+merge", jax.jit(domerge), t_s, u_s, v_s, id_s, sslot)
+    timeit("unsort+merge", jax.jit(domerge), t_s, id_s, sslot)
 
     # full trace end-to-end
     def full(o, dd, maxt):

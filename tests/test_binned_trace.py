@@ -59,7 +59,9 @@ def test_matches_brute(rng, n_tri, n_ray):
     both = np.isfinite(t)
     assert np.allclose(t[both], tb[both], rtol=1e-4, atol=1e-5)
     # ids: clustered id -> original; ties at equal t can differ
-    same_t = np.isclose(t[both], tb[both], rtol=1e-4)
+    # (atol matches the allclose above: near-zero t from origins that
+    # sit on a triangle has no meaningful relative precision)
+    same_t = np.isclose(t[both], tb[both], rtol=1e-4, atol=1e-5)
     assert same_t.mean() > 0.999
 
 

@@ -282,3 +282,46 @@ class TestProbeSensors:
         sc = mt.load_dict(d)
         img = np.asarray(mt.render(sc, spp=512, max_depth=2, seed=4))
         assert img.reshape(-1, 3) == pytest.approx(np.pi * L, rel=3e-2)
+
+
+class TestKahanFilm:
+    """Compensated accumulation (reference ImageBlock `compensate`,
+    imageblock.h:108-114) — VERDICT r2 item 9."""
+
+    def test_kahan_beats_plain_fp32(self):
+        import jax.numpy as jnp
+        import numpy as np
+        from mitsuba3_amvpt_tpu.render.film import kahan_add
+        # 20k tiny deltas onto a large base: plain fp32 drops them
+        base = jnp.full((4, 4, 4), 1.0e4, jnp.float32)
+        delta = jnp.full((4, 4, 4), 1.0e-1, jnp.float32)
+        n = 20000
+        import jax
+
+        @jax.jit
+        def plain(acc):
+            return jax.lax.fori_loop(0, n, lambda i, a: a + delta, acc)
+
+        @jax.jit
+        def kahan(acc):
+            def body(i, c):
+                return kahan_add(c[0], c[1], delta)
+            return jax.lax.fori_loop(0, n, body,
+                                     (acc, jnp.zeros_like(acc)))[0]
+
+        truth = 1.0e4 + float(np.float64(0.1) * n)
+        e_plain = abs(float(plain(base)[0, 0, 0]) - truth)
+        e_kahan = abs(float(kahan(base)[0, 0, 0]) - truth)
+        assert e_kahan < 0.05 * max(e_plain, 1e-9), (e_plain, e_kahan)
+        assert e_plain > 1.0   # the drift is real at fp32
+
+    def test_render_compensate_matches(self):
+        import numpy as np
+        import mitsuba3_amvpt_tpu as mt
+        from mitsuba3_amvpt_tpu.utils import scenes
+        sc = mt.load_dict(scenes.cornell_box(res=16))
+        a = np.asarray(mt.render(sc, spp=8, max_depth=2, seed=0,
+                                 spp_per_pass=2))
+        b = np.asarray(mt.render(sc, spp=8, max_depth=2, seed=0,
+                                 spp_per_pass=2, compensate=True))
+        assert np.allclose(a, b, rtol=1e-5, atol=1e-6)
