@@ -73,6 +73,7 @@ class TestPRBGradients:
             (param_name, fd, naive, prb)
         return fd, naive, prb
 
+    @pytest.mark.slow
     def test_albedo_gradient(self, cb):
         fd, naive, prb = self._compare(
             cb, "materials.albedo",
@@ -102,6 +103,7 @@ class TestPRBGradients:
 
 
 class TestTextureGradients:
+    @pytest.mark.slow
     def test_texture_recovery_direction(self):
         """One Adam-free SGD step on a textured floor must reduce the
         loss (config-3 smoke: texture optimization works end-to-end)."""
@@ -147,3 +149,73 @@ class TestTextureGradients:
         want = jnp.sign(tex0 - t)
         agree = float(jnp.mean((moved == want) & (jnp.abs(g) > 1e-7)))
         assert agree > 0.3
+
+
+class TestRoughnessTextureRecovery:
+    """Gradients through GGX sampling/eval w.r.t. a roughness TEXTURE
+    (BASELINE config 3 'albedo/roughness textures'; VERDICT r2 item 8:
+    the unproven half)."""
+
+    def _scene(self):
+        return mt.load_dict({
+            "type": "scene",
+            "sensor": {"type": "perspective", "fov": 45,
+                       "to_world": {"lookat": {
+                           "origin": [0, 2.0, 2.0], "target": [0, 0, 0],
+                           "up": [0, 1, 0]}},
+                       "film": {"type": "hdrfilm", "width": 32,
+                                "height": 32,
+                                "rfilter": {"type": "box"}}},
+            "floor": {"type": "rectangle",
+                      "to_world": {"ops": [
+                          {"rotate": {"axis": [1, 0, 0], "angle": -90}},
+                          {"scale": [1.5, 1.5, 1.5]}]},
+                      "bsdf": {"type": "roughconductor",
+                               "material": "Al",
+                               "alpha": {"type": "checkerboard",
+                                         "color0": [0.08, 0.08, 0.08],
+                                         "color1": [0.45, 0.45, 0.45],
+                                         "res": 8}}},
+            "light": {"type": "sphere", "radius": 0.35,
+                      "center": [0, 2.5, 1.0],
+                      "emitter": {"type": "area", "radiance": 30.0}},
+            "env": {"type": "constant", "radiance": 0.05},
+        })
+
+    @pytest.mark.slow
+    def test_alpha_texels_recoverable(self):
+        from mitsuba3_amvpt_tpu.ad import update_scene
+        from mitsuba3_amvpt_tpu.ad.prb import prb_pass
+        from mitsuba3_amvpt_tpu.ad.optimizers import Adam
+        from mitsuba3_amvpt_tpu.render.film import film_develop
+
+        scene = self._scene()
+        tex0 = scene.textures.texels
+        target = film_develop(prb_pass(scene, jnp.uint32(3), 32, 3, 8))
+
+        t_init = jnp.full_like(tex0, 0.25)
+        opt = Adam(lr=0.035, params={"tex": t_init})
+
+        @jax.jit
+        def lg(texels, seed):
+            def loss(t):
+                s = update_scene(scene, {"textures.texels": t})
+                img = film_develop(prb_pass(s, seed, 16, 3, 8))
+                return jnp.mean((img - target) ** 2)
+            return jax.value_and_grad(loss)(texels)
+
+        l0, g0 = lg(t_init, jnp.uint32(100))
+        assert float(jnp.abs(g0).max()) > 0.0, "no gradient through GGX"
+        losses = [float(l0)]
+        e_init = float(jnp.abs(t_init - tex0).mean())
+        for it in range(40):
+            l, g = lg(opt["tex"], jnp.uint32(101 + it))
+            opt.step({"tex": g})
+            opt["tex"] = jnp.clip(opt["tex"], 0.02, 1.0)
+            losses.append(float(l))
+        e_final = float(jnp.abs(opt["tex"] - tex0).mean())
+        # loss decreases and texels move toward the truth.  The texel
+        # error bar is loose because the mean includes texels the 32^2
+        # view never observes (no gradient signal reaches them).
+        assert np.mean(losses[-4:]) < 0.5 * np.mean(losses[:2]), losses
+        assert e_final < 0.8 * e_init, (e_init, e_final)

@@ -22,6 +22,8 @@ from mitsuba3_amvpt_tpu.ad import (render_ad, render_ad_forward, traverse,
                                    update_scene)
 from mitsuba3_amvpt_tpu.utils import scenes
 
+pytestmark = pytest.mark.slow  # FD gradient matrix: minutes per config
+
 RES = 24
 SPP = 96
 DEPTH = 4

@@ -66,23 +66,27 @@ class TestVolPRB:
             (leaf, fd, naive, prb)
         return fd, naive, prb
 
+    @pytest.mark.slow
     def test_sigma_t_gradient(self):
         sc = mt.load_dict(fog_scene())
         fd, naive, prb = self._compare(
             sc, "media.sigma_t", lambda b, t: b * (1.0 + t), 5e-3)
         assert abs(fd) > 1e-3
 
+    @pytest.mark.slow
     def test_albedo_gradient(self):
         sc = mt.load_dict(fog_scene(albedo=0.7))
         fd, naive, prb = self._compare(
             sc, "media.albedo", lambda b, t: b * (1.0 + t), 5e-3)
         assert abs(fd) > 1e-3
 
+    @pytest.mark.slow
     def test_hg_g_gradient(self):
         sc = mt.load_dict(fog_scene(albedo=0.8, g=0.4))
         fd, naive, prb = self._compare(
             sc, "media.g", lambda b, t: b + t, 5e-3, rel_tol=0.25)
 
+    @pytest.mark.slow
     def test_emitter_radiance_linearity(self):
         """Image linear in radiance: grad of sum w.r.t. radiance scale
         equals the image sum itself."""
@@ -100,6 +104,7 @@ class TestVolPRB:
         total = float(loss(0.0))
         assert g == pytest.approx(total, rel=0.02)
 
+    @pytest.mark.slow
     def test_surface_albedo_through_fog(self):
         """BSDF gradients still flow when the path crosses a medium."""
         sc = mt.load_dict(fog_scene(albedo=0.3, radiance=3.0))

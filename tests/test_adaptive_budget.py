@@ -44,6 +44,7 @@ def _scene(res=24):
 
 
 class TestAdaptiveBudget:
+    @pytest.mark.slow
     def test_allocation_tracks_variance(self):
         sc = _scene()
         img, allocs = render_multiview_adaptive(
@@ -59,6 +60,7 @@ class TestAdaptiveBudget:
         # the floor keeps the smooth view alive
         assert allocs[-1][1] >= 0.25 / 2 - 1e-6
 
+    @pytest.mark.slow
     def test_unbiased_vs_uniform(self):
         """Non-uniform pixel sampling must not bias the image (weight
         channel normalization): compare view means vs a plain render."""

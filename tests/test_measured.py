@@ -125,6 +125,7 @@ class TestMeasuredGGX:
         band = np.abs(fm - fr) / (fr + 0.05)
         assert np.quantile(band, 0.9) < 0.25
 
+    @pytest.mark.slow
     def test_render_matches_roughconductor(self, bsdf_file):
         def scene_with(bsdf):
             return mt.load_dict({

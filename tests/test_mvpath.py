@@ -69,6 +69,7 @@ class TestMVPath:
             b = ref[:, v * res:(v + 1) * res].mean()
             assert a == pytest.approx(b, rel=0.06, abs=2e-3), (v, a, b)
 
+    @pytest.mark.slow
     def test_reuse_reduces_variance(self):
         """Effective-spp amplification (mvpath.h:70-73): at equal spp the
         reuse render must be closer to a converged reference than the
@@ -118,6 +119,7 @@ class TestExactTvPdf:
                      "height": res, "rfilter": {"type": "box"}}}
         return mt.load_dict(d)
 
+    @pytest.mark.slow
     def test_exact_unbiased_vs_fast(self):
         """Selection probabilities shape variance, never the mean."""
         sc = self._principled_scene()
@@ -132,6 +134,7 @@ class TestExactTvPdf:
         assert abs(fa.mean() - ex.mean()) / fa.mean() < 0.04, \
             (fa.mean(), ex.mean())
 
+    @pytest.mark.slow
     def test_exact_changes_selection_on_glossy(self):
         """Same seed: the exact TV pdf accepts/rejects different
         secondary views on a glossy material -> different sample paths

@@ -29,6 +29,7 @@ def scene():
 
 
 @pytest.mark.smoke
+@pytest.mark.slow
 def test_mesh_shape_invariance(scene):
     """(1,1) == (2,4) == (4,2): lanes are globally indexed, so the
     mesh factorization must not change a single sample."""

@@ -124,6 +124,7 @@ class TestPolarizedTransport:
         expect = np.cos(np.deg2rad(deg)) ** 2
         assert S[0] == pytest.approx(expect, abs=0.02)
 
+    @pytest.mark.slow
     def test_quarter_wave_plate_between_crossed(self):
         """Crossed polarizers block; inserting a QWP at 45 deg lets
         half of the intermediate intensity through."""
@@ -137,6 +138,7 @@ class TestPolarizedTransport:
             {"type": "polarizer", "theta": 0.0}))
         assert S_qwp[0] == pytest.approx(0.5, abs=0.02)
 
+    @pytest.mark.slow
     def test_circular_polarizer_S3(self):
         Sr = _stokes_mean(_polarizer_scene({"type": "circular"}))
         assert Sr[0] == pytest.approx(1.0, rel=0.02)
@@ -145,6 +147,7 @@ class TestPolarizedTransport:
             {"type": "circular", "left_handed": True}))
         assert np.sign(Sl[3]) == -np.sign(Sr[3])
 
+    @pytest.mark.slow
     def test_depolarizing_scene_matches_scalar_path(self):
         """S0 of a diffuse-only scene equals the scalar path render
         exactly (same sampler stream)."""
@@ -158,6 +161,7 @@ class TestPolarizedTransport:
         # and a diffuse box depolarizes: S1..S3 ~ 0
         assert np.abs(S[..., 1:]).max() < 1e-4
 
+    @pytest.mark.slow
     def test_brewster_reflection_polarizes(self):
         """Unpolarized light reflecting off smooth glass near Brewster's
         angle comes out strongly polarized perpendicular to the plane of

@@ -65,6 +65,7 @@ def _loss(img):
 
 
 class TestPrimaryBoundary:
+    @pytest.mark.slow
     def test_matches_finite_differences(self):
         spp = 16
 

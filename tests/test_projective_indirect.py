@@ -84,6 +84,7 @@ def test_scene_is_indirect_only():
     assert direct_only < 0.02 * a, (direct_only, a)  # no direct light
 
 
+@pytest.mark.slow
 def test_indirect_boundary_matches_fd():
     """FD vs AD at occluder offset +0.3 (a clean monotonic point of the
     penumbra sweep: FD = 0.0202 +- 0.001 over 6 matched-seed pairs).

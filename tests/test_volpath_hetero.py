@@ -160,6 +160,7 @@ def smoke_box_scene(medium, res=16, light_z=3.0):
 
 
 class TestHeteroRender:
+    @pytest.mark.slow
     def test_constant_grid_matches_homogeneous(self):
         """A heterogeneous medium with density == 1 must statistically
         match the analytic homogeneous medium."""
@@ -181,6 +182,7 @@ class TestHeteroRender:
         assert b.mean() == pytest.approx(a.mean(), rel=0.06), \
             (a.mean(), b.mean())
 
+    @pytest.mark.slow
     def test_null_boundary_shadow_attenuation(self):
         """Pure absorber in a null cube: the image is Beer-Lambert
         attenuated emission through the 2-unit slab (direct paths are
@@ -201,6 +203,7 @@ class TestHeteroRender:
                 img.shape[1] // 2 - 2:img.shape[1] // 2 + 2].mean()
         assert c == pytest.approx(5.0 * np.exp(-sigma * 2.0), rel=0.05)
 
+    @pytest.mark.slow
     def test_denser_grid_darker(self, rng):
         """A real density gradient changes the image accordingly:
         doubling the grid halves log-transmittance."""
@@ -219,6 +222,7 @@ class TestHeteroRender:
                                   integrator="volpath", seed=2)).mean()
         assert lo > hi * 1.3
 
+    @pytest.mark.slow
     def test_gridded_albedo(self):
         """Albedo supplied as a gridvolume loads and scatters."""
         het = {"type": "heterogeneous",
