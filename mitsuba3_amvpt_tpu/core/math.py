@@ -325,3 +325,39 @@ def perspective_projection(fov_deg, near, far):
     m[2, 3] = -near * far * recip
     m[3, 2] = 1.0
     return m
+
+
+def transform_point_indexed(table, idx, p):
+    """Per-lane point transform ``table[idx] @ p`` WITHOUT gathering
+    per-lane (4, 4) matrices: a (N, 4, 4) gather materializes on TPU
+    with T(4,128) tile padding — 32x memory (measured 8 GB at 4.2M
+    lanes in the AMVPT reprojection).  16 scalar (N,) gathers from the
+    (V,) matrix columns avoid the padded intermediate entirely.
+
+    ``table`` (V, 4, 4); ``idx`` (N,) int; ``p`` (N, 3).  Includes the
+    perspective divide like transform_point."""
+    c = table.reshape(-1, 16)
+    x, y, z = p[..., 0], p[..., 1], p[..., 2]
+
+    def g(j):
+        return c[:, j][idx]
+
+    px = g(0) * x + g(1) * y + g(2) * z + g(3)
+    py = g(4) * x + g(5) * y + g(6) * z + g(7)
+    pz = g(8) * x + g(9) * y + g(10) * z + g(11)
+    w = g(12) * x + g(13) * y + g(14) * z + g(15)
+    return jnp.stack([px, py, pz], -1) / w[..., None]
+
+
+def transform_vector_indexed(table, idx, v):
+    """transform_vector with per-column gathers (see
+    transform_point_indexed)."""
+    c = table.reshape(-1, 16)
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+
+    def g(j):
+        return c[:, j][idx]
+
+    return jnp.stack([g(0) * x + g(1) * y + g(2) * z,
+                      g(4) * x + g(5) * y + g(6) * z,
+                      g(8) * x + g(9) * y + g(10) * z], -1)

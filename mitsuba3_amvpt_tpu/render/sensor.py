@@ -116,9 +116,11 @@ class CameraBatch:
                           jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), d_cam.shape),
                           d_cam)
 
-        tw = self.to_world[view]
-        o = m.transform_point(tw, o_cam)
-        d = m.normalize(m.transform_vector(tw, d_cam))
+        # per-column indexed transforms: gathering (N, 4, 4) matrices
+        # costs 32x tile-padded HBM on TPU (core/math.py note)
+        o = m.transform_point_indexed(self.to_world, view, o_cam)
+        d = m.normalize(
+            m.transform_vector_indexed(self.to_world, view, d_cam))
 
         # distant sensor (distant.cpp:196-232): origin placed outside the
         # scene, targeting either a fixed point or the bounding-sphere
@@ -130,9 +132,10 @@ class CameraBatch:
             radius = aux[..., 3:4]
             is_pt = aux[..., 4:5] > 0.5
             disk = warp.square_to_uniform_disk_concentric(u_lens)
-            perp = m.transform_vector(
-                tw, jnp.stack([disk[..., 0], disk[..., 1],
-                               jnp.zeros_like(disk[..., 0])], -1))
+            perp = m.transform_vector_indexed(
+                self.to_world, view,
+                jnp.stack([disk[..., 0], disk[..., 1],
+                           jnp.zeros_like(disk[..., 0])], -1))
             o_none = center + perp * radius - d * radius
             o_tgt = center - 2.0 * radius * d
             o = jnp.where(is_dist[..., None],
@@ -164,14 +167,15 @@ class CameraBatch:
             jnp.stack([p_lens2[..., 0], p_lens2[..., 1],
                        jnp.zeros_like(p_lens2[..., 0])], -1),
             jnp.zeros(p_world.shape))
-        o_world = m.transform_point(self.to_world[view], o_cam)
+        o_world = m.transform_point_indexed(self.to_world, view, o_cam)
 
         delta = o_world - p_world
         dist = m.norm(delta)
         d = delta / jnp.maximum(dist[..., None], 1e-20)
 
         # project: direction camera -> surface, in camera space
-        p_cam = m.transform_point(self.to_world_inv[view], p_world)
+        p_cam = m.transform_point_indexed(self.to_world_inv, view,
+                                          p_world)
         rel = p_cam - o_cam
         z = rel[..., 2]
         behind = z <= self.near_clip[view]

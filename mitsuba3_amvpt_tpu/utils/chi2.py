@@ -99,31 +99,59 @@ class ChiSquareTest:
         return hist
 
     def tabulate_pdf(self):
-        """Integrate the pdf over each bin on an ires x ires sub-grid
-        (trapezoid; chi2.py uses adaptive Simpson — sub-grid midpoint is
-        ample at ires=8)."""
+        """Integrate the pdf over each bin with a composite
+        Gauss-Legendre rule: ires/2 sub-cells x 2-point GL per axis
+        (same ires-point budget as the reference's trapezoid sub-grid,
+        chi2.py:175).  Composite low-order GL is the right rule here:
+        degree-3 exact on smooth regions (sharply peaked low-alpha
+        microfacet lobes) while keeping the error of an in-bin pdf
+        DISCONTINUITY (critical-angle cutoffs) confined to one
+        quarter-width sub-cell — a single high-order rule rings on
+        those edges."""
+        from ..core.quad import gauss_legendre
         b = self.domain.bounds()
         ry, rx = self.res
-        ys = np.linspace(b[1, 0], b[1, 1], ry * self.ires + 1)
-        xs = np.linspace(b[0, 0], b[0, 1], rx * self.ires + 1)
-        ymid = 0.5 * (ys[:-1] + ys[1:])
-        xmid = 0.5 * (xs[:-1] + xs[1:])
-        X, Y = np.meshgrid(xmid, ymid)
+        nsub = max(self.ires // 2, 1)
+        g2x, g2w = gauss_legendre(2)
+        # sub-cell j of [-1,1] has center (2j+1)/nsub - 1, width 2/nsub
+        gx = ((np.arange(nsub)[:, None] * 2 + 1 + g2x[None, :])
+              / nsub - 1.0).ravel()
+        gw = np.tile(g2w / nsub, nsub)
+        # bin edges and per-bin composite GL nodes in each axis
+        def axis_nodes(lo, hi, r):
+            edges = np.linspace(lo, hi, r + 1)
+            h = (hi - lo) / r
+            mid = 0.5 * (edges[:-1] + edges[1:])
+            pts = mid[:, None] + 0.5 * h * gx[None, :]    # (r, n_pts)
+            return pts, 0.5 * h * gw                      # weights
+
+        xpts, xw = axis_nodes(b[0, 0], b[0, 1], rx)
+        ypts, yw = axis_nodes(b[1, 0], b[1, 1], ry)
+        X = np.broadcast_to(xpts[None, None, :, :],
+                            (ry, self.ires, rx, self.ires))
+        Y = np.broadcast_to(ypts[:, :, None, None],
+                            (ry, self.ires, rx, self.ires))
         pts2 = np.stack([X.ravel(), Y.ravel()], -1)
         d = self.domain.map_forward(pts2)
         pdf = np.asarray(self.pdf_func(jnp.asarray(d, jnp.float32)))
-        pdf = pdf.reshape(ry * self.ires, rx * self.ires)
-        cell = ((b[0, 1] - b[0, 0]) / (rx * self.ires)) \
-            * ((b[1, 1] - b[1, 0]) / (ry * self.ires))
-        # pool sub-cells into bins
-        pdf = pdf.reshape(ry, self.ires, rx, self.ires).sum((1, 3)) * cell
+        pdf = pdf.reshape(ry, self.ires, rx, self.ires).astype(np.float64)
+        pdf = np.einsum("yjxi,j,i->yx", pdf, yw, xw)
         self.pdf = pdf * self.sample_count
         return self.pdf
 
-    def run(self, significance_level: float = 0.01) -> bool:
-        """Pooled Pearson chi^2 vs the analytic pdf (chi2.py:239-322)."""
+    def run(self, significance_level: float = 0.01,
+            test_count: int = 1) -> bool:
+        """Pooled Pearson chi^2 vs the analytic pdf (chi2.py:239-322).
+
+        ``test_count`` applies the Sidak correction when several
+        hypothesis tests run in sequence (chi2.py:302-306)."""
         hist = self.tabulate_histogram()
         pdf = self.tabulate_pdf()
+        # samples landing in zero-expectation cells reject immediately
+        # (chi2.py:278-281)
+        if np.any((pdf == 0) & (hist != 0)):
+            self.messages.append("samples in zero-expectation cells")
+            return False
         # sort cells by expected count; pool cells with expectation < 5
         flat_h = hist.ravel()
         flat_p = pdf.ravel()
@@ -160,4 +188,6 @@ class ChiSquareTest:
         if not (0.97 < mass_ratio < 1.03):
             self.messages.append(f"mass mismatch: {mass_ratio:.4f}")
             return False
+        significance_level = 1.0 - (1.0 - significance_level) \
+            ** (1.0 / max(test_count, 1))
         return p_value > significance_level

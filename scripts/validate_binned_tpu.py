@@ -65,7 +65,8 @@ def main():
         return jnp.min(t, axis=1), jnp.argmin(t, axis=1)
 
     ts, ids = [], []
-    C = 2048
+    # chunk so the (C, F, 3) brute broadcast fits HBM at 1M tris
+    C = max(64, min(2048, (1 << 31) // max(p0.shape[0], 1)))
     bc = jax.jit(brute_chunk)
     for i in range(0, n, C):
         tt, ii = bc(o[i:i + C], dd[i:i + C])
