@@ -119,3 +119,62 @@ def triangle_bounds(vertices: np.ndarray, faces: np.ndarray):
     """Per-triangle AABBs from (V,3) vertices and (F,3) int faces."""
     tris = vertices[faces]           # (F, 3, 3)
     return tris.min(axis=1), tris.max(axis=1)
+
+
+def treelet_tiles(nodes_meta: np.ndarray, n_prims: int,
+                  max_tile: int = 128) -> np.ndarray:
+    """Cut the BVH into treelets of <= max_tile prims -> tile ranges.
+
+    The binned tracer's tiles were fixed runs of 128 consecutive
+    BVH-leaf prims, which cut across subtree boundaries and produced
+    loose tile AABBs (ray visits tiles it never needed).  Cutting at
+    SUBTREE roots instead keeps each tile spatially tight at the cost
+    of partially filled tiles.
+
+    ``nodes_meta`` is build_bvh's (M, 2) int32 array: interior nodes
+    have meta[i] = (right_child, 0) with left child at i+1; leaves
+    have (first_prim, count>0) — prims of a subtree are CONTIGUOUS in
+    leaf order.  Returns ``starts`` (n_tiles + 1,) int32 ascending with
+    starts[-1] == n_prims.
+    """
+    m = nodes_meta.shape[0]
+    if m == 0:
+        return np.array([0, n_prims], np.int32)
+    first = np.zeros(m, np.int64)
+    end = np.zeros(m, np.int64)
+    is_leaf = nodes_meta[:, 1] > 0
+    first[is_leaf] = nodes_meta[is_leaf, 0]
+    end[is_leaf] = nodes_meta[is_leaf, 0] + nodes_meta[is_leaf, 1]
+    # children always have larger indices (preorder layout): reverse
+    # sweep resolves interior ranges in one pass
+    for i in range(m - 1, -1, -1):
+        if not is_leaf[i]:
+            c0, c1 = i + 1, nodes_meta[i, 0]
+            first[i] = min(first[c0], first[c1])
+            end[i] = max(end[c0], end[c1])
+    count = end - first
+    starts = [0]
+    stack = [0]
+    while stack:
+        i = stack.pop()
+        if count[i] <= max_tile or is_leaf[i]:
+            # subtree fits one tile; ranges arrive in ascending order
+            # because we push the right (larger-first) child first
+            assert first[i] == starts[-1], "non-contiguous treelet"
+            starts.append(int(end[i]))
+        else:
+            c0, c1 = i + 1, int(nodes_meta[i, 0])
+            lo, hi = (c0, c1) if first[c0] <= first[c1] else (c1, c0)
+            stack.append(hi)
+            stack.append(lo)
+    assert starts[-1] == n_prims
+    # greedily merge ADJACENT small ranges (leaf-order neighbors are
+    # spatial cousins): bounds the tile count at ~2x the dense packing
+    # and keeps the padded-slot fill factor high
+    merged = [0]
+    for s in starts[1:]:
+        if s - merged[-2] <= max_tile if len(merged) >= 2 else False:
+            merged[-1] = s               # extend the open tile
+        else:
+            merged.append(s)             # close it, start a new one
+    return np.asarray(merged, np.int32)

@@ -346,12 +346,14 @@ def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
         else:
             from ..ops.binned_trace import (pack_binned,
                                             ray_triangles_binned)
-            soa_b, sup_ab, tile_c, ns, nt = pack_binned(p0, p1, p2)
+            soa_b, sup_ab, tile_c, ns, nt, pmap = pack_binned(
+                p0, p1, p2, tile_starts=geom.tile_starts)
 
             def trace(o, d, maxt, soa, tb, any_hit=False):
                 return ray_triangles_binned(o, d, maxt, soa_b, sup_ab,
                                             tile_c, ns, nt,
-                                            any_hit=any_hit)
+                                            any_hit=any_hit,
+                                            prim_map=pmap)
 
             soa = tb = None
             # binned needs no ray pre-sorting: run coherence comes from

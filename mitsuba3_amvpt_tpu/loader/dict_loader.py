@@ -1025,13 +1025,19 @@ class _Builder:
             lo = np.concatenate([lo_t, lo_s], 0)
             hi = np.concatenate([hi_t, hi_s], 0)
             bvh_bbox, bvh_meta, prim_order = build_bvh(lo, hi)
+            tile_starts = None
             if F > 0:
                 # spatially-coherent triangle order for the tiled tracer
-                _, _, tri_order = build_bvh(lo_t, hi_t)
+                _, meta_t, tri_order = build_bvh(lo_t, hi_t)
+                if accel == "tiled":
+                    from ..accel.build import treelet_tiles
+                    from ..ops.binned_trace import TILE as _TILE
+                    tile_starts = treelet_tiles(meta_t, F, _TILE)
         else:
             bvh_bbox = np.zeros((1, 2, 3), np.float32)
             bvh_meta = np.zeros((1, 2), np.int32)
             prim_order = np.arange(max(n_prims, 1), dtype=np.int32)
+            tile_starts = None
 
         geom = GeometryArrays(
             verts=jnp.asarray(verts), faces=jnp.asarray(faces),
@@ -1043,6 +1049,8 @@ class _Builder:
             bvh_bbox=jnp.asarray(bvh_bbox), bvh_meta=jnp.asarray(bvh_meta),
             bvh_prim_ids=jnp.asarray(prim_order), accel_mode=accel,
             tri_order=jnp.asarray(tri_order),
+            tile_starts=(None if tile_starts is None
+                         else jnp.asarray(tile_starts)),
             vtangents=None if vtans is None else jnp.asarray(vtans),
             vattrs=None if vcols is None else jnp.asarray(vcols),
             any_vattr=vcols is not None,

@@ -68,51 +68,75 @@ _CH = dict(o=0, d=3, inv=6, limit=9, maxt=10, cur=11, ls_t=12, ls_i=13,
 # scene-side packing
 # ---------------------------------------------------------------------------
 
-def pack_binned(p0, p1, p2):
+def pack_binned(p0, p1, p2, tile_starts=None):
     """Triangles (already in BVH-leaf order) -> binned-tracer tables.
 
-    Returns (tri_soa (16, F_pad), sup_ab (NSP, 8), tile_c (192, NSP),
-    ns_real, n_tiles_real).  ``sup_ab`` rows are supertile AABBs
-    (lox loy loz hix hiy hiz 0 0); ``tile_c[c*SUPER+j, s]`` is AABB
-    component c of tile ``s*SUPER+j`` — laid out so the per-lane tile
-    fetch is one (192, NSP) @ (NSP, 128) MXU matmul against a one-hot
-    supertile selector.  ns_real / n_tiles_real are static ints.
-    All jnp — usable under jit with differentiable vertices upstream.
+    ``tile_starts``: optional treelet tile boundaries from
+    accel.build.treelet_tiles — tile t covers ordered prims
+    [starts[t], starts[t+1]) (each <= TILE), padded to TILE with
+    degenerate slots.  The VALUES may be traced (a scene-pytree leaf);
+    only the array LENGTH is static.  Without it, tiles are fixed runs
+    of TILE consecutive prims (looser AABBs).
+
+    Returns (tri_soa (n_tiles_p, 16, TILE), sup_ab (NSP, 8),
+    tile_c (192, NSP), ns_real, n_tiles_real, prim_map).  ``sup_ab``
+    rows are supertile AABBs (lox loy loz hix hiy hiz 0 0);
+    ``tile_c[c*SUPER+j, s]`` is AABB component c of tile ``s*SUPER+j``
+    — laid out so the per-lane tile fetch is one (192, NSP) @
+    (NSP, 128) MXU matmul against a one-hot supertile selector.
+    ``prim_map`` (n_tiles_p*TILE,) int32 maps a sweep slot id
+    (tile*TILE + lane) back to the ordered prim index (-1 for pads).
+    ns_real / n_tiles_real are static ints.  All jnp — usable under
+    jit with differentiable vertices upstream.
     """
     F = p0.shape[0]
-    padt = (-F) % (TILE * SUPER)
+    if tile_starts is None:
+        n_tiles_real = max(-(-F // TILE), 1)
+        tile_starts = jnp.minimum(
+            jnp.arange(n_tiles_real + 1, dtype=jnp.int32) * TILE, F)
+    starts = jnp.asarray(tile_starts, jnp.int32)
+    n_tiles_real = starts.shape[0] - 1          # static (array shape)
+    n_tiles_p = -(-n_tiles_real // SUPER) * SUPER
+    starts = jnp.concatenate(
+        [starts, jnp.full((n_tiles_p - n_tiles_real,), F, jnp.int32)])
+    counts_t = starts[1:] - starts[:-1]          # (n_tiles_p,)
+    offs = jnp.arange(TILE, dtype=jnp.int32)
+    idx = starts[:-1, None] + offs[None, :]
+    valid2 = offs[None, :] < counts_t[:, None]
+    idx_flat = jnp.where(valid2, idx, -1).reshape(-1)
+    valid = idx_flat >= 0
+    gi = jnp.maximum(idx_flat, 0)
+
+    def take(a):
+        return jnp.where(valid[:, None], a[gi], 0.0)
+
+    q0, q1, q2 = take(p0), take(p1), take(p2)
     # rows 0-2 p0, 3-5 e1, 6-8 e2 — classic Moller-Trumbore operands.
     # (A plane-equation + barycentric-gradient variant was tried and
     # REVERTED: its per-tri gradient vectors scale as 1/|n|, so sliver
     # triangles — uv-sphere poles — produced false near-zero hits and
     # real misses on TPU at the ~0.3% level.  MT keeps every
     # intermediate at edge/ray scale and matches the brute reference
-    # bit-for-bit.)
-    soa = jnp.concatenate([p0.T, (p1 - p0).T, (p2 - p0).T,
-                           jnp.zeros((7, F), jnp.float32)], axis=0)
-    soa = jnp.pad(soa, ((0, 0), (0, padt)))
-    # tile-major layout: one tile = one CONTIGUOUS (16, TILE) 8 KB
-    # block, so the sweep kernel's HBM->VMEM DMA is a single linear
-    # copy (the (16, F) layout made it a 16-row strided copy)
-    soa = jnp.transpose(soa.reshape(16, (F + padt) // TILE, TILE),
-                        (1, 0, 2))
+    # bit-for-bit.)  Tile-major layout: one tile = one CONTIGUOUS
+    # (16, TILE) 8 KB block, so the sweep kernel's HBM->VMEM DMA is a
+    # single linear copy.
+    soa = jnp.concatenate([q0.T, (q1 - q0).T, (q2 - q0).T,
+                           jnp.zeros((7, q0.shape[0]), jnp.float32)], 0)
+    soa = jnp.transpose(soa.reshape(16, n_tiles_p, TILE), (1, 0, 2))
 
-    def padv(a, fill):
-        return jnp.pad(a, ((0, padt), (0, 0)), constant_values=fill)
-
-    lo = jnp.minimum(jnp.minimum(padv(p0, _BIG), padv(p1, _BIG)),
-                     padv(p2, _BIG))
-    hi = jnp.maximum(jnp.maximum(padv(p0, -_BIG), padv(p1, -_BIG)),
-                     padv(p2, -_BIG))
-    n_tiles_p = (F + padt) // TILE
-    n_tiles_real = -(-F // TILE)
+    big = jnp.where(valid[:, None], 0.0, _BIG)
+    lo = jnp.minimum(jnp.minimum(q0 + big, q1 + big), q2 + big)
+    hi = jnp.maximum(jnp.maximum(q0 - big, q1 - big), q2 - big)
     tlo = lo.reshape(n_tiles_p, TILE, 3).min(1)
     thi = hi.reshape(n_tiles_p, TILE, 3).max(1)
-    # partially padded tiles keep a correct AABB (min/max vs +/-BIG);
-    # fully padded tiles get inverted boxes but are masked by the
-    # static n_tiles_real id check in the kernel
-    tlo = jnp.clip(tlo, -_BIG, _BIG)
-    thi = jnp.clip(thi, -_BIG, _BIG)
+    # pad slots push to +/-BIG and never win the min/max as long as a
+    # tile has one real prim; EMPTY tiles become far-away point boxes
+    # ([1e30]^3) — a point box beyond the scene can never satisfy
+    # tn <= limit (limit is always clamped to the scene-bbox exit), so
+    # empty tiles are rejected without an explicit validity channel
+    empty = (counts_t == 0)[:, None]
+    tlo = jnp.where(empty, 1e30, jnp.clip(tlo, -_BIG, _BIG))
+    thi = jnp.where(empty, 1e30, jnp.clip(thi, -_BIG, _BIG))
 
     ns = n_tiles_p // SUPER
     slo = tlo.reshape(ns, SUPER, 3).min(1)
@@ -126,7 +150,8 @@ def pack_binned(p0, p1, p2):
     comp = comp.reshape(ns, SUPER, 6)
     tile_c = jnp.transpose(comp, (2, 1, 0)).reshape(6 * SUPER, ns)
     tile_c = jnp.pad(tile_c, ((0, 0), (0, nsp - ns))).astype(jnp.float32)
-    return soa, sup_ab, tile_c, ns, n_tiles_real
+    prim_map = jnp.asarray(idx_flat, jnp.int32)
+    return soa, sup_ab, tile_c, ns, n_tiles_real, prim_map
 
 
 # ---------------------------------------------------------------------------
@@ -563,12 +588,14 @@ def _compact(carry, new_n):
                    static_argnames=("ns_real", "n_tiles_real", "any_hit"))
 def ray_triangles_binned(o, d, maxt, tri_soa, sup_ab, tile_c,
                          ns_real: int, n_tiles_real: int,
-                         any_hit: bool = False):
+                         any_hit: bool = False, prim_map=None):
     """Front-to-back binned tracing (module docstring).
 
-    Returns (t, u, v, clustered_prim_id) with t == inf / id == -1 on
-    miss.  Rays need NO pre-sorting: the global per-round key sort
-    provides run coherence regardless of ray order.
+    Returns (t, u, v, ordered_prim_id) with t == inf / id == -1 on
+    miss; ``prim_map`` (from pack_binned) converts sweep slot ids into
+    ordered prim indices (identity when None).  Rays need NO
+    pre-sorting: the global per-round key sort provides run coherence
+    regardless of ray order.
     """
     n = o.shape[0]
     blk = RL * GROUP
@@ -654,4 +681,6 @@ def ray_triangles_binned(o, d, maxt, tri_soa, sup_ab, tile_c,
     uu = jnp.where(hit, uu, 0.0)
     vv = jnp.where(hit, vv, 0.0)
     t = jnp.where(hit, res_t, jnp.inf)
+    if prim_map is not None:
+        res_id = jnp.where(hit, prim_map[jnp.maximum(res_id, 0)], -1)
     return (t[:n], uu[:n], vv[:n], res_id[:n])

@@ -79,6 +79,10 @@ class GeometryArrays:
     # boundaries.  Built position-welded so per-corner vertex splits
     # (OBJ expansion) don't hide adjacency.
     edges: jnp.ndarray = None
+    # treelet tile boundaries for the binned tracer
+    # (accel/build.treelet_tiles): (n_tiles + 1,) int32 into tri_order
+    # space; None outside the tiled accel mode
+    tile_starts: jnp.ndarray = None
 
     @property
     def tri_p0(self):

@@ -52,10 +52,10 @@ def main():
     db = jnp.asarray(dr)
     maxt = jnp.full((n,), jnp.inf)
 
-    soa, sup_ab, tile_c, ns, nt = bt.pack_binned(
+    soa, sup_ab, tile_c, ns, nt, pmap = bt.pack_binned(
         jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2))
     f2 = lambda o, d, m: bt.ray_triangles_binned(o, d, m, soa, sup_ab,
-                                                 tile_c, ns, nt)
+                                                 tile_c, ns, nt, prim_map=pmap)
     t = f2(ob, db, maxt)[0]
     jax.block_until_ready(t)
     print("hit", float(jnp.isfinite(t).mean()), flush=True)

@@ -38,7 +38,7 @@ def main():
     p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
     lo = np.minimum(np.minimum(p0, p1), p2)
     hi = np.maximum(np.maximum(p0, p1), p2)
-    _, _, order = build_bvh(lo, hi)
+    _, meta_b, order = build_bvh(lo, hi)
     p0, p1, p2 = p0[order], p1[order], p2[order]
 
     n = 1 << wf_log2
@@ -61,8 +61,13 @@ def main():
     dd = jnp.asarray(dr)
     maxt = jnp.full((n,), jnp.inf)
 
-    soa, sup_ab, tile_c, ns, nt = bt.pack_binned(
-        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2))
+    from mitsuba3_amvpt_tpu.accel.build import treelet_tiles
+    starts = treelet_tiles(meta_b, p0.shape[0], bt.TILE)
+    print(f"treelet tiles: {len(starts)-1} (dense would be "
+          f"{-(-p0.shape[0] // bt.TILE)})", flush=True)
+    soa, sup_ab, tile_c, ns, nt, pmap = bt.pack_binned(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2),
+        tile_starts=starts)
     soa = jax.device_put(soa)
     sup_ab = jax.device_put(sup_ab)
     tile_c = jax.device_put(tile_c)
@@ -118,7 +123,7 @@ def main():
     # full trace end-to-end
     def full(o, dd, maxt):
         return bt.ray_triangles_binned(o, dd, maxt, soa, sup_ab, tile_c,
-                                       ns, nt)
+                                       ns, nt, prim_map=pmap)
     jfull = jax.jit(full)
     tt = timeit("FULL closest", jfull, o, dd, maxt, reps=3)
     print("hit frac", float(jnp.isfinite(tt[0]).mean()), flush=True)
@@ -131,7 +136,7 @@ def main():
 
     def fullah(o, dd, maxt):
         return bt.ray_triangles_binned(o, dd, maxt, soa, sup_ab, tile_c,
-                                       ns, nt, any_hit=True)
+                                       ns, nt, any_hit=True, prim_map=pmap)
     jah = jax.jit(fullah)
     timeit("FULL any-hit", jah, o, dd, maxt, reps=3)
     t0 = time.perf_counter()

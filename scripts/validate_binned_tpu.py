@@ -27,7 +27,7 @@ def main():
     p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
     lo = np.minimum(np.minimum(p0, p1), p2)
     hi = np.maximum(np.maximum(p0, p1), p2)
-    _, _, order = build_bvh(lo, hi)
+    _, meta_b, order = build_bvh(lo, hi)
     p0o, p1o, p2o = p0[order], p1[order], p2[order]
 
     rng = np.random.default_rng(7)
@@ -49,10 +49,13 @@ def main():
     dd = jnp.asarray(dr)
     maxt = jnp.full((n,), jnp.inf)
 
-    soa, sup_ab, tile_c, ns, nt = bt.pack_binned(
-        jnp.asarray(p0o), jnp.asarray(p1o), jnp.asarray(p2o))
+    from mitsuba3_amvpt_tpu.accel.build import treelet_tiles
+    starts = treelet_tiles(meta_b, p0o.shape[0], bt.TILE)
+    soa, sup_ab, tile_c, ns, nt, pmap = bt.pack_binned(
+        jnp.asarray(p0o), jnp.asarray(p1o), jnp.asarray(p2o),
+        tile_starts=starts)
     t_b, u_b, v_b, id_b = bt.ray_triangles_binned(
-        o, dd, maxt, soa, sup_ab, tile_c, ns, nt)
+        o, dd, maxt, soa, sup_ab, tile_c, ns, nt, prim_map=pmap)
     t_b, id_b = np.asarray(t_b), np.asarray(id_b)
 
     # reference: dense scan-based brute over ordered tris (float exact)
