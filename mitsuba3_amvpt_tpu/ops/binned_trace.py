@@ -50,7 +50,7 @@ SUPER = 32          # tiles per supertile
 GROUP = 128         # lanes per sweep group (one tile-run walk each)
 NG_SW = 8           # groups per sweep-kernel invocation (8 sublanes min)
 RL = 8              # lane rows per select-kernel block (RL*128 lanes)
-K_EMIT = 4          # tiles emitted per ray per round
+K_EMIT = 8          # tiles emitted per ray per round
 NCH = 20            # state channels per lane (see _CH below)
 _BIG = 3e38
 _IBIG = 1.0e9
