@@ -394,6 +394,71 @@ def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
     return t, uv, jnp.where(hit_valid, prim, -1)
 
 
+# instanced prim ids start far above F + S so SDF prims (which the
+# Scene layer appends at [F + S, F + S + n_sdfs)) never collide
+INST_PRIM_PAD = 4096
+
+
+def inst_prim_base(geom):
+    return geom.tri_p0.shape[0] + geom.sph_center.shape[0] \
+        + INST_PRIM_PAD
+
+
+def _intersect_instances(geom, o, d, maxt, best):
+    """Fold TRUE-instanced geometry (src/shapes/instance.cpp) into a
+    closest-hit result: scan over instances, transform the ray into
+    the instance frame (unnormalized direction keeps the world-t
+    parametrization for any affine transform), brute-sweep the
+    group's template faces.  O(N * Fg_max) per instance — the
+    correctness path; large instanced scenes should keep per-group
+    triangle counts moderate (the binned tracer sees instanced
+    geometry only through this stage for now, a documented perf
+    limitation)."""
+    bt, buv, bprim = best
+    base = inst_prim_base(geom)
+    tv = geom.tmpl_verts
+    tf = geom.tmpl_faces
+    poff = geom.inst_prim_off
+
+    def body(carry, xs):
+        bt, buv, bprim = carry
+        to_obj, fidx, p_base = xs
+        o2 = o @ to_obj[:3, :3].T + to_obj[:3, 3]
+        d2 = d @ to_obj[:3, :3].T
+        valid_f = fidx >= 0
+        ff = tf[jnp.maximum(fidx, 0)]
+        p0, p1, p2 = tv[ff[:, 0]], tv[ff[:, 1]], tv[ff[:, 2]]
+        t, u, v, hit = ray_triangle(o2[:, None, :], d2[:, None, :],
+                                    p0[None], p1[None], p2[None])
+        t = jnp.where(hit & valid_f[None, :], t, jnp.inf)
+        t = jnp.where(t < jnp.minimum(bt, maxt)[:, None], t, jnp.inf)
+        k = jnp.argmin(t, axis=1)
+        tk = jnp.min(t, axis=1)
+        upd = jnp.isfinite(tk)
+        uk = jnp.take_along_axis(u, k[:, None], 1)[:, 0]
+        vk = jnp.take_along_axis(v, k[:, None], 1)[:, 0]
+        bt = jnp.where(upd, tk, bt)
+        buv = jnp.where(upd[:, None], jnp.stack([uk, vk], -1), buv)
+        bprim = jnp.where(upd, base + p_base + k, bprim)
+        return (bt, buv, bprim), None
+
+    (bt, buv, bprim), _ = jax.lax.scan(
+        body, (bt, buv, bprim),
+        (geom.inst_to_object, geom.inst_face_idx, poff[:-1]))
+    return bt, buv, bprim
+
+
+def instanced_shape_index(geom, prim):
+    """Shape id for instanced prim ids (>= inst_prim_base)."""
+    ip = jnp.maximum(prim - inst_prim_base(geom), 0)
+    poff = geom.inst_prim_off
+    inst = jnp.clip(jnp.searchsorted(poff, ip, side="right") - 1,
+                    0, poff.shape[0] - 2)
+    loc = ip - poff[inst]
+    face = geom.inst_face_idx[inst, loc]
+    return geom.tmpl_tri_shape[jnp.maximum(face, 0)], inst, face
+
+
 def _pick_mode(geom, mode):
     mode = mode or geom.accel_mode
     if mode == "tiled" and jax.default_backend() != "tpu":
@@ -415,14 +480,23 @@ def ray_intersect_prelim(geom, ray, mode: str = None) -> PreliminaryIntersection
         t, uv, prim = intersect_bvh(geom, o, d, ray.maxt)
     else:
         t, uv, prim = intersect_brute(geom, o, d, ray.maxt)
+    if geom.inst_to_world is not None:
+        t, uv, prim = _intersect_instances(geom, o, d, ray.maxt,
+                                           (t, uv, prim))
     F = geom.tri_p0.shape[0]
     S = geom.sph_center.shape[0]
     is_tri = (prim >= 0) & (prim < F)
+    is_sph = (prim >= F) & (prim < F + S)
     tri_sid = geom.tri_shape[jnp.clip(prim, 0, F - 1)] if F > 0 \
         else jnp.full_like(prim, -1)
     sph_sid = geom.sph_shape[jnp.clip(prim - F, 0, S - 1)] if S > 0 \
         else jnp.full_like(prim, -1)
-    shape_idx = jnp.where(prim >= 0, jnp.where(is_tri, tri_sid, sph_sid), -1)
+    shape_idx = jnp.where(is_tri, tri_sid,
+                          jnp.where(is_sph, sph_sid, -1))
+    if geom.inst_to_world is not None:
+        inst_sid, _, _ = instanced_shape_index(geom, prim)
+        shape_idx = jnp.where(prim >= F + S, inst_sid, shape_idx)
+    shape_idx = jnp.where(prim >= 0, shape_idx, -1)
     return PreliminaryIntersection(
         t=jnp.where(prim >= 0, t, jnp.inf), prim_uv=uv,
         prim_index=prim, shape_index=shape_idx)
@@ -435,9 +509,12 @@ def ray_test(geom, ray, mode: str = None):
     d = jax.lax.stop_gradient(ray.d)
     if mode == "tiled":
         t, _, prim = intersect_tiled(geom, o, d, ray.maxt, any_hit=True)
-        return prim >= 0
-    if mode == "bvh":
+    elif mode == "bvh":
         t, _, prim = intersect_bvh(geom, o, d, ray.maxt, any_hit=True)
-        return prim >= 0
-    t, _, prim = intersect_brute(geom, o, d, ray.maxt, any_hit=True)
+    else:
+        t, _, prim = intersect_brute(geom, o, d, ray.maxt, any_hit=True)
+    if geom.inst_to_world is not None:
+        t, _, prim = _intersect_instances(geom, o, d, ray.maxt,
+                                          (t, jnp.zeros(o.shape[:1] + (2,)),
+                                           prim))
     return prim >= 0

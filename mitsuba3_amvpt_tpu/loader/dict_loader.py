@@ -247,6 +247,17 @@ class _Builder:
         self.measured_pol_cache = {}
         self.sdf_specs = []         # sdfgrid shape specs (render/sdf.py)
         self.distant_spec = None  # deferred distant sensor (needs bbox)
+        # TRUE instancing (src/shapes/instance.cpp semantics): mesh
+        # children of a shapegroup are stored ONCE in group-local
+        # template arrays; each instance adds only a transform row.
+        # Sphere children stay baked (one row per instance is already
+        # O(unique)).  Emitters/sensors inside groups are rejected
+        # (instance.cpp:48).
+        self._tmpl_sink = None    # active template collector or None
+        self.tmpl = dict(verts=[], faces=[], vns=[], vuvs=[],
+                         hasvn=[], hasuv=[], tri_shape=[], v_off=0)
+        self.groups = {}          # gid -> dict(f0, fc, spheres=[...])
+        self.instances = []       # dicts(to_world, gid)
 
     # ---------------- textures ----------------
 
@@ -688,9 +699,30 @@ class _Builder:
             if isinstance(gid, dict):
                 gid = gid.get("id")
             tw_i = _to_world(spec.get("to_world"))
-            for child in self.shapegroups.get(gid, []):
-                self.add_shape(child, tw_i if parent_tw is None
-                               else parent_tw @ tw_i)
+            if parent_tw is not None:
+                tw_i = parent_tw @ tw_i
+            if gid not in self.groups:
+                # first reference: build the group's mesh TEMPLATE once
+                # (group-local space); spheres recorded for per-instance
+                # baking
+                rec = dict(spheres=[])
+                rec["f0"] = sum(len(f) for f in self.tmpl["faces"])
+                self._tmpl_sink = rec
+                for child in self.shapegroups.get(gid, []):
+                    self.add_shape(child, None)
+                self._tmpl_sink = None
+                rec["fc"] = sum(len(f) for f in self.tmpl["faces"]) \
+                    - rec["f0"]
+                self.groups[gid] = rec
+            rec = self.groups[gid]
+            if rec["fc"] > 0:
+                self.instances.append(dict(to_world=tw_i, gid=gid))
+            for c_local, r, sid in rec["spheres"]:
+                c = (tw_i[:3, :3] @ c_local) + tw_i[:3, 3]
+                sc = float(np.cbrt(abs(np.linalg.det(tw_i[:3, :3]))))
+                self.sph_center.append(np.asarray(c))
+                self.sph_radius.append(r * sc)
+                self.sph_shape.append(sid)
             return
         tw = _to_world(spec.get("to_world"))
         if parent_tw is not None:
@@ -727,6 +759,13 @@ class _Builder:
         if em_spec is None:
             em_spec = next((v for v in spec.values()
                             if isinstance(v, dict) and v.get("type") == "area"), None)
+        if self._tmpl_sink is not None and (em_spec is not None
+                                            or sensor_spec is not None):
+            # reference parity: "Shape groups cannot be used to
+            # replicate shapes with attached emitters, sensors, or
+            # ..." (src/shapes/instance.cpp:48)
+            raise ValueError("shapegroup children cannot carry "
+                             "emitters or sensors (instance.cpp:48)")
         if em_spec is not None:
             rad, tex = self.resolve_texture(em_spec.get("radiance", 1.0))
             self.emitters.append(dict(
@@ -761,6 +800,11 @@ class _Builder:
             r = float(spec.get("radius", 1.0))
             c = m.transform_point(jnp.asarray(tw), jnp.asarray(c))
             sc = float(np.cbrt(abs(np.linalg.det(tw[:3, :3])))) if tw is not None else 1.0
+            if self._tmpl_sink is not None:
+                # sphere group child: baked per instance (O(1) each)
+                self._tmpl_sink["spheres"].append(
+                    (np.asarray(c, np.float64), r * sc, shape_id))
+                return
             self.sph_center.append(np.asarray(c))
             self.sph_radius.append(r * sc)
             self.sph_shape.append(shape_id)
@@ -826,11 +870,25 @@ class _Builder:
                 vn_w = -vn_w
 
         F = f.shape[0]
-        self.verts.append(v_w)
-        self.faces.append(f + self.v_off)
         if vn_w is not None:
             norm = np.linalg.norm(vn_w, axis=-1, keepdims=True)
             vn_w = vn_w / np.maximum(norm, 1e-20)
+        if self._tmpl_sink is not None:
+            # group-template geometry: stored once, group-local space
+            tm = self.tmpl
+            tm["verts"].append(v_w)
+            tm["faces"].append(f + tm["v_off"])
+            tm["vns"].append(np.zeros_like(v_w) if vn_w is None else vn_w)
+            tm["vuvs"].append(np.zeros((len(v_w), 2)) if uv is None
+                             else np.asarray(uv))
+            tm["hasvn"].append(np.full(F, vn_w is not None))
+            tm["hasuv"].append(np.full(F, uv is not None))
+            tm["tri_shape"].append(np.full(F, shape_id, np.int32))
+            tm["v_off"] += len(v_w)
+            return
+        self.verts.append(v_w)
+        self.faces.append(f + self.v_off)
+        if vn_w is not None:
             self.vns.append(vn_w)
         else:
             self.vns.append(np.zeros_like(v_w))
@@ -1039,6 +1097,42 @@ class _Builder:
             prim_order = np.arange(max(n_prims, 1), dtype=np.int32)
             tile_starts = None
 
+        # ---- true-instancing template tables (src/shapes/instance.cpp)
+        inst_kw = {}
+        if self.instances:
+            tm = self.tmpl
+            t_verts = np.concatenate(tm["verts"], 0)
+            t_faces = np.concatenate(tm["faces"], 0).astype(np.int32)
+            I = len(self.instances)
+            i_tw = np.stack([r["to_world"] for r in self.instances], 0)
+            i_to = np.stack([np.linalg.inv(r["to_world"])
+                             for r in self.instances], 0)
+            # normals transform by the inverse transpose == to_object^T
+            i_nm = np.transpose(i_to, (0, 2, 1)).copy()
+            f0 = np.array([self.groups[r["gid"]]["f0"]
+                           for r in self.instances], np.int32)
+            fc = np.array([self.groups[r["gid"]]["fc"]
+                           for r in self.instances], np.int32)
+            poff = np.concatenate([[0], np.cumsum(fc)]).astype(np.int32)
+            fg_max = int(fc.max())
+            fidx = f0[:, None] + np.arange(fg_max)[None, :]
+            fidx = np.where(np.arange(fg_max)[None, :] < fc[:, None],
+                            fidx, -1).astype(np.int32)
+            inst_kw = dict(
+                tmpl_verts=jnp.asarray(t_verts),
+                tmpl_faces=jnp.asarray(t_faces),
+                tmpl_vns=jnp.asarray(np.concatenate(tm["vns"], 0)),
+                tmpl_uvs=jnp.asarray(np.concatenate(tm["vuvs"], 0)),
+                tmpl_hasvn=jnp.asarray(np.concatenate(tm["hasvn"], 0)),
+                tmpl_hasuv=jnp.asarray(np.concatenate(tm["hasuv"], 0)),
+                tmpl_tri_shape=jnp.asarray(
+                    np.concatenate(tm["tri_shape"], 0)),
+                inst_to_world=jnp.asarray(i_tw, jnp.float32),
+                inst_to_object=jnp.asarray(i_to, jnp.float32),
+                inst_nrm_mat=jnp.asarray(i_nm, jnp.float32),
+                inst_prim_off=jnp.asarray(poff),
+                inst_face_idx=jnp.asarray(fidx))
+
         geom = GeometryArrays(
             verts=jnp.asarray(verts), faces=jnp.asarray(faces),
             vnormals=jnp.asarray(vns), vuvs=jnp.asarray(vuvs),
@@ -1056,7 +1150,7 @@ class _Builder:
             any_vattr=vcols is not None,
             any_vn=bool(np.asarray(hasvn).any()),
             any_uv=bool(np.asarray(hasuv).any()),
-            edges=jnp.asarray(_edge_table(verts, faces)))
+            edges=jnp.asarray(_edge_table(verts, faces)), **inst_kw)
 
         # SDF grid shapes (render/sdf.py)
         sdfs = []
@@ -1067,6 +1161,16 @@ class _Builder:
 
         # scene bbox
         allpts = [verts] if len(verts) else []
+        for r in self.instances:
+            g = self.groups[r["gid"]]
+            if g["fc"] == 0:
+                continue
+            tv = np.concatenate(self.tmpl["verts"], 0)
+            lo_g, hi_g = tv.min(0), tv.max(0)
+            corners = np.stack(np.meshgrid(*zip(lo_g, hi_g),
+                                           indexing="ij"), -1).reshape(-1, 3)
+            twr = np.asarray(r["to_world"], np.float64)
+            allpts.append((twr[:3, :3] @ corners.T).T + twr[:3, 3])
         if S:
             allpts += [sphc - sphr[:, None], sphc + sphr[:, None]]
         for s in self.sdf_specs:

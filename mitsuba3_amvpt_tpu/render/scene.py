@@ -83,6 +83,23 @@ class GeometryArrays:
     # (accel/build.treelet_tiles): (n_tiles + 1,) int32 into tri_order
     # space; None outside the tiled accel mode
     tile_starts: jnp.ndarray = None
+    # TRUE instancing (src/shapes/instance.cpp): mesh shape-group
+    # templates stored once in group-local space + per-instance
+    # transforms.  Instanced prim ids start at
+    # accel.traverse.inst_prim_base (F + S + a pad that keeps SDF prim
+    # ids clear).  All None when the scene has no mesh instances.
+    tmpl_verts: jnp.ndarray = None    # (Vt, 3)
+    tmpl_faces: jnp.ndarray = None    # (Ft, 3) int32
+    tmpl_vns: jnp.ndarray = None      # (Vt, 3)
+    tmpl_uvs: jnp.ndarray = None      # (Vt, 2)
+    tmpl_hasvn: jnp.ndarray = None    # (Ft,) bool
+    tmpl_hasuv: jnp.ndarray = None    # (Ft,) bool
+    tmpl_tri_shape: jnp.ndarray = None  # (Ft,) int32 shared shape ids
+    inst_to_world: jnp.ndarray = None   # (I, 4, 4)
+    inst_to_object: jnp.ndarray = None  # (I, 4, 4)
+    inst_nrm_mat: jnp.ndarray = None    # (I, 4, 4) to_object^T
+    inst_prim_off: jnp.ndarray = None   # (I + 1,) int32 cumulative fc
+    inst_face_idx: jnp.ndarray = None   # (I, Fg_max) template faces, -1 pad
 
     @property
     def tri_p0(self):
@@ -374,6 +391,47 @@ class Scene:
         ng = jnp.where(is_tri[..., None], ng_tri, n_sph)
         ns = jnp.where(is_tri[..., None], ns_tri, n_sph)
         uv = jnp.where(is_tri[..., None], uv_surf_tri, uv_sph)
+        mat_inst = jnp.zeros((n,), jnp.int32)
+        is_inst = jnp.zeros((n,), bool)
+        if g.inst_to_world is not None:
+            # TRUE instancing (instance.cpp compute_surface_interaction
+            # semantics): template triangle transformed to world by the
+            # instance's to_world; gradients flow to tmpl_verts AND the
+            # instance transforms (both are pytree leaves)
+            from ..accel import traverse as tv_mod
+            n_base = tv_mod.inst_prim_base(g)
+            is_inst = valid & (prim >= n_base)
+            sid_i, inst, face = tv_mod.instanced_shape_index(g, prim)
+            tf = g.tmpl_faces[jnp.maximum(face, 0)]
+            tw = g.inst_to_world
+            q0 = m.transform_point_indexed(tw, inst, g.tmpl_verts[tf[:, 0]])
+            q1 = m.transform_point_indexed(tw, inst, g.tmpl_verts[tf[:, 1]])
+            q2 = m.transform_point_indexed(tw, inst, g.tmpl_verts[tf[:, 2]])
+            t_d, u_d, v_d, _ = traverse.ray_triangle(ray.o, ray.d,
+                                                     q0, q1, q2, eps=1.0)
+            t_i = m.replace_grad(pi.t, t_d)
+            uv_i = m.replace_grad(pi.prim_uv, jnp.stack([u_d, v_d], -1))
+            b0i = 1.0 - uv_i[..., 0] - uv_i[..., 1]
+            p_i = (b0i[..., None] * q0 + uv_i[..., 0:1] * q1
+                   + uv_i[..., 1:2] * q2)
+            ng_i = m.normalize(jnp.cross(q1 - q0, q2 - q0))
+            vn_l = (b0i[..., None] * g.tmpl_vns[tf[:, 0]]
+                    + uv_i[..., 0:1] * g.tmpl_vns[tf[:, 1]]
+                    + uv_i[..., 1:2] * g.tmpl_vns[tf[:, 2]])
+            vn_w = m.transform_vector_indexed(g.inst_nrm_mat, inst, vn_l)
+            use_vn = g.tmpl_hasvn[jnp.maximum(face, 0)]
+            ns_i = jnp.where(use_vn[..., None], m.normalize(vn_w), ng_i)
+            uv_t = (b0i[..., None] * g.tmpl_uvs[tf[:, 0]]
+                    + uv_i[..., 0:1] * g.tmpl_uvs[tf[:, 1]]
+                    + uv_i[..., 1:2] * g.tmpl_uvs[tf[:, 2]])
+            uv_si = jnp.where(
+                g.tmpl_hasuv[jnp.maximum(face, 0)][..., None], uv_t, uv_i)
+            t = jnp.where(is_inst, t_i, t)
+            p = jnp.where(is_inst[..., None], p_i, p)
+            ng = jnp.where(is_inst[..., None], ng_i, ng)
+            ns = jnp.where(is_inst[..., None], ns_i, ns)
+            uv = jnp.where(is_inst[..., None], uv_si, uv)
+            mat_inst = self.shape_material[jnp.maximum(sid_i, 0)]
 
         # ---- SDF grids (render/sdf.py; sdfgrid.cpp:337-456)
         mat_sdf = jnp.zeros((n,), jnp.int32)
@@ -439,9 +497,11 @@ class Scene:
         mat = jnp.where(valid, jnp.where(is_tri, mat_tri,
                                          jnp.where(is_sdf, mat_sdf,
                                                    mat_sph)), -1)
+        mat = jnp.where(is_inst, mat_inst, mat)
         emi = jnp.where(valid, jnp.where(is_tri, emi_tri,
                                          jnp.where(is_sdf, emi_sdf,
                                                    emi_sph)), -1)
+        emi = jnp.where(is_inst, -1, emi)  # no emitters in groups
 
         return SurfaceInteraction(
             t=jnp.where(valid, t, jnp.inf),
@@ -499,8 +559,11 @@ class Scene:
         em = self.emitters
         g = self.geom
         F = g.faces.shape[0]
-        prim = jnp.maximum(si.prim_index, 0)
-        pdf_area = jnp.where(si.prim_index >= 0, em.prim_pdf_area[prim], 0.0)
+        # instanced/SDF prims index past the (n_prims,) tables and are
+        # never emitters — clamp and zero them
+        in_tbl = (si.prim_index >= 0) & (si.prim_index < g.n_prims)
+        prim = jnp.clip(si.prim_index, 0, max(g.n_prims - 1, 0))
+        pdf_area = jnp.where(in_tbl, em.prim_pdf_area[prim], 0.0)
         delta = si.p - prev_si_p
         dist2 = m.squared_norm(delta)
         cos = jnp.abs(m.cos_theta(si.wi))

@@ -325,3 +325,80 @@ class TestKahanFilm:
         b = np.asarray(mt.render(sc, spp=8, max_depth=2, seed=0,
                                  spp_per_pass=2, compensate=True))
         assert np.allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+class TestTrueInstancing:
+    """Mesh shape-group instancing resolved in the tracer
+    (src/shapes/instance.cpp semantics, VERDICT r2 item 6): templates
+    stored once, per-instance transforms, image parity with a
+    baked-equivalent scene."""
+
+    def _scenes(self, n_inst=5):
+        import numpy as np
+        base = {
+            "type": "scene",
+            "sensor": {"type": "perspective", "fov": 60,
+                       "to_world": {"lookat": {"origin": [0, 1.5, 6],
+                                               "target": [0, 0, 0],
+                                               "up": [0, 1, 0]}},
+                       "film": {"type": "hdrfilm", "width": 48,
+                                "height": 48,
+                                "rfilter": {"type": "box"}}},
+            "light": {"type": "point", "position": [2, 4, 4],
+                      "intensity": 60.0},
+            "env": {"type": "constant", "radiance": 0.1},
+            "floor": {"type": "rectangle",
+                      "to_world": {"ops": [
+                          {"rotate": {"axis": [1, 0, 0], "angle": -90}},
+                          {"scale": [6, 6, 6]},
+                          {"translate": [0, -0.6, 0]}]},
+                      "bsdf": {"type": "diffuse", "reflectance": 0.4}},
+        }
+        xs = np.linspace(-2.0, 2.0, n_inst)
+        inst = dict(base)
+        inst["grp"] = {
+            "type": "shapegroup",
+            "c": {"type": "cube", "to_world": {"scale": 0.35},
+                  "bsdf": {"type": "diffuse",
+                           "reflectance": [0.7, 0.3, 0.2]}}}
+        baked = dict(base)
+        for i, x in enumerate(xs):
+            tw = {"ops": [{"rotate": {"axis": [0, 1, 0],
+                                      "angle": 25.0 * i}},
+                          {"translate": [float(x), 0, 0]}]}
+            inst[f"i{i}"] = {"type": "instance",
+                             "shapegroup": {"id": "grp"}, "to_world": tw}
+            baked[f"b{i}"] = {
+                "type": "cube",
+                "to_world": {"ops": [{"scale": 0.35}] + tw["ops"]},
+                "bsdf": {"type": "diffuse",
+                         "reflectance": [0.7, 0.3, 0.2]}}
+        return mt.load_dict(inst), mt.load_dict(baked)
+
+    def test_image_matches_baked(self):
+        sc_i, sc_b = self._scenes()
+        a = np.asarray(mt.render(sc_i, spp=24, max_depth=3, seed=0))
+        b = np.asarray(mt.render(sc_b, spp=24, max_depth=3, seed=0))
+        # same sampler stream, same geometry -> near-identical images
+        # (fp differences: template verts transformed per-ray vs baked)
+        assert np.abs(a - b).mean() < 5e-3, np.abs(a - b).mean()
+        assert abs(a.mean() - b.mean()) / b.mean() < 0.01
+
+    def test_memory_is_o_unique(self):
+        sc_i, sc_b = self._scenes(n_inst=7)
+        # instanced scene's main arrays hold only the floor (2 faces);
+        # the cube lives ONCE in the template table; baked stores 7
+        assert sc_i.geom.faces.shape[0] == 2
+        assert sc_b.geom.faces.shape[0] == 2 + 7 * 12
+        assert sc_i.geom.tmpl_faces.shape[0] == 12
+        assert sc_i.geom.inst_to_world.shape[0] == 7
+
+    def test_group_emitter_rejected(self):
+        import pytest as _pytest
+        d = {"type": "scene",
+             "grp": {"type": "shapegroup",
+                     "r": {"type": "rectangle",
+                           "emitter": {"type": "area", "radiance": 1.0}}},
+             "i": {"type": "instance", "shapegroup": {"id": "grp"}}}
+        with _pytest.raises(ValueError, match="emitters"):
+            mt.load_dict(d)
