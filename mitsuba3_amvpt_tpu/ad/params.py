@@ -22,6 +22,13 @@ _PARAM_PATHS = {
     "emitters.radiance": ("emitters", "radiance"),
     "textures.texels": ("textures", "texels"),
     "geom.verts": ("geom", "verts"),
+    # instance transforms (true instancing): rows are differentiable —
+    # the SI reconstruction transforms the hit triangle through
+    # inst_to_world per lane, so d(image)/d(instance pose) flows.
+    # Callers updating it should keep inst_to_object/inst_nrm_mat
+    # consistent for the detached traversal (update only perturbs the
+    # attached SI; the primal hit uses the stored inverse).
+    "geom.inst_to_world": ("geom", "inst_to_world"),
 }
 
 
@@ -34,6 +41,8 @@ def traverse(scene, keys=None) -> dict:
         obj = scene
         for p in path:
             obj = getattr(obj, p)
+        if obj is None:       # optional leaves (e.g. inst_to_world)
+            continue
         out[name] = obj
     return out
 

@@ -420,7 +420,13 @@ class Scene:
                     + uv_i[..., 1:2] * g.tmpl_vns[tf[:, 2]])
             vn_w = m.transform_vector_indexed(g.inst_nrm_mat, inst, vn_l)
             use_vn = g.tmpl_hasvn[jnp.maximum(face, 0)]
-            ns_i = jnp.where(use_vn[..., None], m.normalize(vn_w), ng_i)
+            # flat-shaded templates store zero vnormals; normalize(0)
+            # has a NaN GRADIENT that jnp.where would still propagate
+            # into d/d(inst_to_world) — substitute a unit vector first
+            vn_safe = jnp.where(use_vn[..., None], vn_w,
+                                jnp.array([0.0, 0.0, 1.0]))
+            ns_i = jnp.where(use_vn[..., None], m.normalize(vn_safe),
+                             ng_i)
             uv_t = (b0i[..., None] * g.tmpl_uvs[tf[:, 0]]
                     + uv_i[..., 0:1] * g.tmpl_uvs[tf[:, 1]]
                     + uv_i[..., 1:2] * g.tmpl_uvs[tf[:, 2]])

@@ -402,3 +402,48 @@ class TestTrueInstancing:
              "i": {"type": "instance", "shapegroup": {"id": "grp"}}}
         with _pytest.raises(ValueError, match="emitters"):
             mt.load_dict(d)
+
+    @pytest.mark.slow
+    def test_instance_pose_gradient_matches_fd(self):
+        """d(image)/d(instance translation) through the instanced SI
+        reconstruction, via NAIVE AD of the primal render (PRB detaches
+        geometry by design — pose gradients are an SI/interior term,
+        the same route geom.verts takes; silhouette motion would need
+        the projective boundary term on top)."""
+        import jax
+        import jax.numpy as jnp
+        from mitsuba3_amvpt_tpu.ad import traverse, update_scene
+
+        sc, sc_b = self._scenes(n_inst=2)
+
+        def loss_at(dy):
+            tw = traverse(sc)["geom.inst_to_world"]
+            tw2 = tw.at[:, 1, 3].add(dy)
+            s2 = update_scene(sc, {"geom.inst_to_world": tw2})
+            img = mt.render(s2, spp=32, seed=5, max_depth=2)
+            W = img.shape[0]
+            wgt = jnp.linspace(0.0, 1.0, W)[:, None, None]
+            return jnp.mean(img * wgt)
+
+        # reference: the SAME translation applied to the baked scene's
+        # cube vertices — an identical interior-only geometry gradient
+        # (FD would add the silhouette term both interior gradients
+        # lack; silhouettes are the projective subsystem's job)
+        cube_vert = jnp.abs(sc_b.geom.verts[:, 0]) < 5.0  # floor corners sit at |x| = 6
+
+        def loss_baked(dy):
+            v = sc_b.geom.verts + jnp.where(cube_vert[:, None],
+                                            jnp.array([0.0, 1.0, 0.0]),
+                                            0.0) * dy
+            s2 = sc_b.replace(geom=sc_b.geom.replace(verts=v))
+            img = mt.render(s2, spp=32, seed=5, max_depth=2)
+            W = img.shape[0]
+            wgt = jnp.linspace(0.0, 1.0, W)[:, None, None]
+            return jnp.mean(img * wgt)
+
+        g_inst = float(jax.grad(loss_at)(jnp.asarray(0.0)))
+        g_vert = float(jax.grad(loss_baked)(jnp.asarray(0.0)))
+        assert np.isfinite(g_inst) and abs(g_inst) > 1e-6
+        assert np.sign(g_inst) == np.sign(g_vert), (g_inst, g_vert)
+        assert abs(g_inst - g_vert) < 0.25 * abs(g_vert), \
+            (g_inst, g_vert)
