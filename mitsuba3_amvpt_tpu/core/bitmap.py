@@ -200,6 +200,8 @@ def read_image(path: str) -> np.ndarray:
         return read_exr(path)
     if ext == ".pfm":
         return read_pfm(path)
+    if ext == ".hdr":
+        return read_hdr(path)
     from PIL import Image
     img = np.asarray(Image.open(path))
     img = img.astype(np.float32) / 255.0
@@ -220,7 +222,117 @@ def write_image(path: str, img: np.ndarray):
         return write_exr(path, img)
     if ext == ".pfm":
         return write_pfm(path, img)
+    if ext == ".hdr":
+        return write_hdr(path, img)
     from PIL import Image
     x = np.clip(img, 0.0, 1.0)
     x = np.where(x <= 0.0031308, 12.92 * x, 1.055 * x ** (1 / 2.4) - 0.055)
     Image.fromarray((x * 255 + 0.5).astype(np.uint8)).save(path)
+
+
+# ---------------------------------------------------------------------------
+# Radiance RGBE (.hdr) — shared-exponent HDR (bitmap.cpp FileFormat::RGBE)
+# ---------------------------------------------------------------------------
+
+def write_hdr(path: str, img: np.ndarray):
+    """Radiance RGBE writer with new-style RLE scanlines."""
+    img = np.asarray(img, np.float32)
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, -1)
+    img = img[..., :3]
+    H, W = img.shape[:2]
+    v = img.max(-1)
+    m, e = np.frexp(v)
+    scale = np.where(v > 1e-32, m * 256.0 / np.maximum(v, 1e-32), 0.0)
+    rgbe = np.zeros((H, W, 4), np.uint8)
+    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    rgbe[..., 3] = np.where(v > 1e-32, e + 128, 0).astype(np.uint8)
+    with open(path, "wb") as f:
+        f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
+        f.write(f"-Y {H} +X {W}\n".encode())
+        for y in range(H):
+            f.write(bytes([2, 2, (W >> 8) & 0xFF, W & 0xFF]))
+            for c in range(4):
+                row = rgbe[y, :, c]
+                i = 0
+                out = bytearray()
+                while i < W:
+                    # find a run of >= 4 identical bytes
+                    run = 1
+                    while i + run < W and run < 127 \
+                            and row[i + run] == row[i]:
+                        run += 1
+                    if run >= 4:
+                        out.append(128 + run)
+                        out.append(int(row[i]))
+                        i += run
+                    else:
+                        # literal span until the next long run
+                        j = i
+                        while j < W and j - i < 128:
+                            r2 = 1
+                            while j + r2 < W and r2 < 4 \
+                                    and row[j + r2] == row[j]:
+                                r2 += 1
+                            if r2 >= 4:
+                                break
+                            j += 1
+                        out.append(j - i)
+                        out.extend(row[i:j].tobytes())
+                        i = j
+                f.write(bytes(out))
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Radiance RGBE reader (new-RLE, old-RLE and flat scanlines)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    pos = 0
+    if not data.startswith(b"#?"):
+        raise ValueError("not a Radiance RGBE file")
+    while True:
+        nl = data.index(b"\n", pos)
+        line = data[pos:nl]
+        pos = nl + 1
+        if line == b"":
+            break
+    nl = data.index(b"\n", pos)
+    res = data[pos:nl].split()
+    pos = nl + 1
+    assert res[0] == b"-Y" and res[2] == b"+X", "unsupported orientation"
+    H, W = int(res[1]), int(res[3])
+    rgbe = np.zeros((H, W, 4), np.uint8)
+    for y in range(H):
+        if pos + 4 <= len(data) and data[pos] == 2 and data[pos + 1] == 2 \
+                and ((data[pos + 2] << 8) | data[pos + 3]) == W:
+            pos += 4
+            for c in range(4):
+                x = 0
+                while x < W:
+                    n = data[pos]
+                    pos += 1
+                    if n > 128:                       # run
+                        rgbe[y, x:x + n - 128, c] = data[pos]
+                        x += n - 128
+                        pos += 1
+                    else:                             # literal
+                        rgbe[y, x:x + n, c] = np.frombuffer(
+                            data, np.uint8, n, pos)
+                        x += n
+                        pos += n
+        else:                                         # flat / old RLE
+            x = 0
+            while x < W:
+                px = np.frombuffer(data, np.uint8, 4, pos)
+                pos += 4
+                if px[0] == 1 and px[1] == 1 and px[2] == 1:
+                    count = int(px[3])
+                    rgbe[y, x:x + count] = rgbe[y, x - 1]
+                    x += count
+                else:
+                    rgbe[y, x] = px
+                    x += 1
+    e = rgbe[..., 3].astype(np.int32)
+    f_ = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
+    return (rgbe[..., :3].astype(np.float32) + 0.5) * f_[..., None] \
+        * (e > 0)[..., None]

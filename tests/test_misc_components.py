@@ -447,3 +447,24 @@ class TestTrueInstancing:
         assert np.sign(g_inst) == np.sign(g_vert), (g_inst, g_vert)
         assert abs(g_inst - g_vert) < 0.25 * abs(g_vert), \
             (g_inst, g_vert)
+
+
+class TestRGBE:
+    """Radiance .hdr RGBE read/write (bitmap.cpp FileFormat::RGBE)."""
+
+    def test_roundtrip_quantization_bound(self):
+        from mitsuba3_amvpt_tpu.core.bitmap import (read_hdr, read_image,
+                                                    write_hdr, write_image)
+        rng = np.random.default_rng(0)
+        img = (rng.random((37, 53, 3)).astype(np.float32) * 10) ** 3
+        img[5:9, 7:20] = 0.0
+        img[10] = 3.25            # constant row exercises RLE runs
+        write_hdr("/tmp/rt.hdr", img)
+        back = read_hdr("/tmp/rt.hdr")
+        # shared-exponent format: error bounded by pixel-max / 256
+        bound = np.maximum(img.max(-1, keepdims=True) / 128.0, 1e-6)
+        assert (np.abs(back - img) <= bound).all()
+        assert (back[5:9, 7:20] == 0.0).all()
+        # dispatch through the generic entry points
+        write_image("/tmp/rt2.hdr", img)
+        assert np.array_equal(read_image("/tmp/rt2.hdr"), back)
