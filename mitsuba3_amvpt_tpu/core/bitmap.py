@@ -336,3 +336,72 @@ def read_hdr(path: str) -> np.ndarray:
     f_ = np.where(e > 0, np.ldexp(1.0, e - 136), 0.0)
     return (rgbe[..., :3].astype(np.float32) + 0.5) * f_[..., None] \
         * (e > 0)[..., None]
+
+
+# ---------------------------------------------------------------------------
+# StructConverter analog (src/core/struct.cpp Struct/StructConverter):
+# pixel-format conversion — dtype range remapping, channel adaptation,
+# gamma handling.  The reference compiles per-format conversion
+# routines; here one vectorized numpy path covers the same matrix.
+# ---------------------------------------------------------------------------
+
+_DTYPE_SCALE = {np.uint8: 255.0, np.uint16: 65535.0, np.uint32: 4294967295.0}
+
+
+def convert(img: np.ndarray, dtype=np.float32, channels: int = None,
+            srgb_in: bool = False, srgb_out: bool = False) -> np.ndarray:
+    """Convert (H, W, C) or (H, W) pixels between formats.
+
+    * integer dtypes are treated as normalized [0, 1] ranges
+      (struct.cpp flag Normalized),
+    * ``srgb_in``/``srgb_out`` apply the sRGB EOTF/OETF on the color
+      channels (struct.cpp flag Gamma; alpha stays linear),
+    * ``channels`` adapts Y <-> RGB <-> RGBA: gray replicates,
+      luminance uses BT.709 weights, added alpha is opaque
+      (struct.cpp weight-based channel mapping).
+    """
+    x = np.asarray(img)
+    if x.ndim == 2:
+        x = x[..., None]
+    c_in = x.shape[-1]
+    # -> float linear
+    for t, s in _DTYPE_SCALE.items():
+        if x.dtype == t:
+            x = x.astype(np.float32) / s
+            break
+    else:
+        x = x.astype(np.float32)
+    if srgb_in:
+        col = x[..., :3] if c_in >= 3 else x[..., :1]
+        col = np.where(col <= 0.04045, col / 12.92,
+                       ((col + 0.055) / 1.055) ** 2.4)
+        x = np.concatenate([col, x[..., col.shape[-1]:]], -1)
+
+    if channels is not None and channels != c_in:
+        has_a = c_in in (2, 4)
+        color = x[..., :c_in - 1] if has_a else x
+        alpha = x[..., -1:] if has_a else np.ones_like(x[..., :1])
+        if color.shape[-1] == 1 and channels >= 3:
+            color = color.repeat(3, -1)
+        elif color.shape[-1] >= 3 and channels in (1, 2):
+            color = (color[..., :3]
+                     @ np.array([0.2126, 0.7152, 0.0722], np.float32)
+                     )[..., None]
+        if channels in (2, 4):
+            x = np.concatenate([color, alpha], -1)
+        else:
+            x = color[..., :channels]
+
+    if srgb_out:
+        nc = x.shape[-1]
+        k = 3 if nc >= 3 else 1
+        col = np.clip(x[..., :k], 0.0, 1.0)
+        col = np.where(col <= 0.0031308, 12.92 * col,
+                       1.055 * col ** (1 / 2.4) - 0.055)
+        x = np.concatenate([col, x[..., k:]], -1)
+
+    dtype = np.dtype(dtype).type
+    if dtype in _DTYPE_SCALE:
+        return (np.clip(x, 0.0, 1.0) * _DTYPE_SCALE[dtype]
+                + 0.5).astype(dtype)
+    return x.astype(dtype)

@@ -468,3 +468,38 @@ class TestRGBE:
         # dispatch through the generic entry points
         write_image("/tmp/rt2.hdr", img)
         assert np.array_equal(read_image("/tmp/rt2.hdr"), back)
+
+
+class TestStructConvert:
+    """bitmap.convert — StructConverter analog (src/core/struct.cpp)."""
+
+    def test_uint8_float_roundtrip(self):
+        from mitsuba3_amvpt_tpu.core.bitmap import convert
+        rng = np.random.default_rng(1)
+        u8 = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+        f = convert(u8, np.float32)
+        assert f.dtype == np.float32 and f.max() <= 1.0
+        back = convert(f, np.uint8)
+        assert np.array_equal(back, u8)
+
+    def test_srgb_roundtrip_and_luminance(self):
+        from mitsuba3_amvpt_tpu.core.bitmap import convert
+        rng = np.random.default_rng(2)
+        lin = rng.random((4, 4, 3)).astype(np.float32)
+        s = convert(lin, np.float32, srgb_out=True)
+        back = convert(s, np.float32, srgb_in=True)
+        assert np.allclose(back, lin, atol=1e-5)
+        y = convert(lin, np.float32, channels=1)
+        assert y.shape == (4, 4, 1)
+        expect = lin @ np.array([0.2126, 0.7152, 0.0722], np.float32)
+        assert np.allclose(y[..., 0], expect, atol=1e-6)
+
+    def test_alpha_adaptation(self):
+        from mitsuba3_amvpt_tpu.core.bitmap import convert
+        rgb = np.full((2, 2, 3), 0.5, np.float32)
+        rgba = convert(rgb, np.float32, channels=4)
+        assert rgba.shape == (2, 2, 4) and (rgba[..., 3] == 1.0).all()
+        g = convert(rgba, np.float32, channels=2)
+        assert g.shape == (2, 2, 2) and (g[..., 1] == 1.0).all()
+        back = convert(rgba, np.float32, channels=3)
+        assert np.allclose(back, rgb)
