@@ -82,3 +82,49 @@ def test_rows_kernel_matches_lane_kernel():
     assert np.array_equal(np.asarray(i0)[hit0], np.asarray(i1)[hit0])
     np.testing.assert_allclose(np.asarray(t0)[hit0], np.asarray(t1)[hit0],
                                rtol=1e-5)
+
+
+def test_binned_matches_brute_on_device():
+    """Binned tracer vs dense MT brute ON THE TPU (Mosaic-compiled,
+    not interpret mode): guards the class of bug where compiled
+    kernels diverge from the interpreted CPU tests — e.g. the round-3
+    MXU-default-precision tile fetch that shifted tile AABBs and
+    dropped ~1e-4 of hits (scripts/validate_binned_tpu.py is the
+    scaled-up version of this check)."""
+    from mitsuba3_amvpt_tpu.accel.build import build_bvh, treelet_tiles
+    from mitsuba3_amvpt_tpu.accel.traverse import ray_triangle
+    from mitsuba3_amvpt_tpu.ops import binned_trace as bt
+
+    rng = np.random.default_rng(3)
+    F = 20_000
+    c = rng.random((F, 3)).astype(np.float32) * 10.0
+    p0 = (c + rng.normal(0, 0.3, (F, 3))).astype(np.float32)
+    p1 = (c + rng.normal(0, 0.3, (F, 3))).astype(np.float32)
+    p2 = (c + rng.normal(0, 0.3, (F, 3))).astype(np.float32)
+    lo = np.minimum(np.minimum(p0, p1), p2)
+    hi = np.maximum(np.maximum(p0, p1), p2)
+    _, meta, order = build_bvh(lo, hi)
+    p0, p1, p2 = p0[order], p1[order], p2[order]
+    starts = treelet_tiles(meta, F)
+    soa, sup_ab, tile_c, ns, nt, pmap = bt.pack_binned(
+        jnp.asarray(p0), jnp.asarray(p1), jnp.asarray(p2),
+        tile_starts=starts)
+
+    n = 4096
+    o = jnp.asarray(rng.random((n, 3)).astype(np.float32) * 12 - 1)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True))
+    maxt = jnp.full((n,), jnp.inf)
+    t_b, _, _, id_b = bt.ray_triangles_binned(
+        o, d, maxt, soa, sup_ab, tile_c, ns, nt, prim_map=pmap)
+
+    t, u, v, hit = ray_triangle(o[:, None, :], d[:, None, :],
+                                jnp.asarray(p0)[None],
+                                jnp.asarray(p1)[None],
+                                jnp.asarray(p2)[None])
+    t = jnp.where(hit, t, jnp.inf)
+    t_r = np.asarray(jnp.min(t, axis=1))
+    t_b = np.asarray(t_b)
+    assert (np.isfinite(t_b) == np.isfinite(t_r)).all()
+    both = np.isfinite(t_b)
+    assert np.allclose(t_b[both], t_r[both], rtol=1e-4, atol=1e-5)
