@@ -177,4 +177,10 @@ def treelet_tiles(nodes_meta: np.ndarray, n_prims: int,
             merged[-1] = s               # extend the open tile
         else:
             merged.append(s)             # close it, start a new one
-    return np.asarray(merged, np.int32)
+    merged = np.asarray(merged, np.int32)
+    # pack_binned silently drops prims past slot max_tile within a tile
+    # (offs < counts with offs < TILE) — an oversized range here would
+    # lose geometry downstream, so fail loudly at the boundary
+    assert np.diff(merged).max(initial=0) <= max_tile, \
+        "treelet tile exceeds max_tile"
+    return merged

@@ -495,7 +495,10 @@ def ray_intersect_prelim(geom, ray, mode: str = None) -> PreliminaryIntersection
                           jnp.where(is_sph, sph_sid, -1))
     if geom.inst_to_world is not None:
         inst_sid, _, _ = instanced_shape_index(geom, prim)
-        shape_idx = jnp.where(prim >= F + S, inst_sid, shape_idx)
+        # guard on inst_prim_base, not F + S: the [F+S, F+S+n_sdfs)
+        # range is reserved for SDF prims appended by the Scene layer
+        shape_idx = jnp.where(prim >= inst_prim_base(geom), inst_sid,
+                              shape_idx)
     shape_idx = jnp.where(prim >= 0, shape_idx, -1)
     return PreliminaryIntersection(
         t=jnp.where(prim >= 0, t, jnp.inf), prim_uv=uv,

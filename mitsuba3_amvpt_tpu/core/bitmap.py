@@ -245,11 +245,19 @@ def write_hdr(path: str, img: np.ndarray):
     m, e = np.frexp(v)
     scale = np.where(v > 1e-32, m * 256.0 / np.maximum(v, 1e-32), 0.0)
     rgbe = np.zeros((H, W, 4), np.uint8)
-    rgbe[..., :3] = np.clip(img * scale[..., None], 0, 255).astype(np.uint8)
+    # +0.5 before the cast: plain truncation loses up to 1 ULP of
+    # mantissa precision (Radiance's own writer rounds)
+    rgbe[..., :3] = np.clip(img * scale[..., None] + 0.5,
+                            0, 255).astype(np.uint8)
     rgbe[..., 3] = np.where(v > 1e-32, e + 128, 0).astype(np.uint8)
     with open(path, "wb") as f:
         f.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n")
         f.write(f"-Y {H} +X {W}\n".encode())
+        if W < 8 or W >= 32768:
+            # the 0x02 0x02 new-RLE header is only legal for
+            # 8 <= W < 32768 (ray/src/common/color.c) — flat scanlines
+            f.write(rgbe.tobytes())
+            return
         for y in range(H):
             f.write(bytes([2, 2, (W >> 8) & 0xFF, W & 0xFF]))
             for c in range(4):

@@ -707,12 +707,15 @@ class _Builder:
                 # baking
                 rec = dict(spheres=[])
                 rec["f0"] = sum(len(f) for f in self.tmpl["faces"])
+                rec["v0"] = sum(len(v) for v in self.tmpl["verts"])
                 self._tmpl_sink = rec
                 for child in self.shapegroups.get(gid, []):
                     self.add_shape(child, None)
                 self._tmpl_sink = None
                 rec["fc"] = sum(len(f) for f in self.tmpl["faces"]) \
                     - rec["f0"]
+                rec["vc"] = sum(len(v) for v in self.tmpl["verts"]) \
+                    - rec["v0"]
                 self.groups[gid] = rec
             rec = self.groups[gid]
             if rec["fc"] > 0:
@@ -1165,7 +1168,11 @@ class _Builder:
             g = self.groups[r["gid"]]
             if g["fc"] == 0:
                 continue
-            tv = np.concatenate(self.tmpl["verts"], 0)
+            # only THIS group's vertex slice: the union over all
+            # templates would inflate every instance's bbox (and the
+            # distant-sensor placement) in multi-group scenes
+            tv = np.concatenate(self.tmpl["verts"], 0)[
+                g["v0"]:g["v0"] + g["vc"]]
             lo_g, hi_g = tv.min(0), tv.max(0)
             corners = np.stack(np.meshgrid(*zip(lo_g, hi_g),
                                            indexing="ij"), -1).reshape(-1, 3)

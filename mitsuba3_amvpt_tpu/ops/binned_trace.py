@@ -51,6 +51,7 @@ GROUP = 128         # lanes per sweep group (one tile-run walk each)
 NG_SW = 8           # groups per sweep-kernel invocation (8 sublanes min)
 RL = 8              # lane rows per select-kernel block (RL*128 lanes)
 K_EMIT = 8          # tiles emitted per ray per round
+_REFETCH_STRIDE = 4  # emission slots per tile-row fetch (2 fetches/round)
 NCH = 20            # state channels per lane (see _CH below)
 _BIG = 3e38
 _IBIG = 1.0e9
@@ -139,8 +140,12 @@ def pack_binned(p0, p1, p2, tile_starts=None):
     thi = jnp.where(empty, 1e30, jnp.clip(thi, -_BIG, _BIG))
 
     ns = n_tiles_p // SUPER
-    slo = tlo.reshape(ns, SUPER, 3).min(1)
-    shi = thi.reshape(ns, SUPER, 3).max(1)
+    # mask empty tiles out of the supertile reduction: their 1e30 point
+    # boxes must not inflate the supertile AABB (or the driver's global
+    # bbox / maxt clamp downstream) — a fully-empty supertile becomes an
+    # inverted box (+BIG, -BIG) that can never pass the slab test
+    slo = jnp.where(empty, _BIG, tlo).reshape(ns, SUPER, 3).min(1)
+    shi = jnp.where(empty, -_BIG, thi).reshape(ns, SUPER, 3).max(1)
     nsp = max(-(-ns // 128) * 128, 128)
     sup_ab = jnp.concatenate([slo, shi, jnp.zeros((ns, 2))], axis=1)
     sup_ab = jnp.pad(sup_ab, ((0, nsp - ns), (0, 0))).astype(jnp.float32)
@@ -255,15 +260,23 @@ def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
 
         tn_t, hit_t = fetch_rows(cur)
 
-        # ---- K front-to-back tile emissions; a lane that exhausts its
-        # supertile advances its super cursor and resumes at the next
-        # emission slot (the rows are refetched — one extra matmul)
+        # ---- K front-to-back tile emissions from a BOUNDED number of
+        # row fetches (the one-hot matmul + dual slab sweep was ~2/3 of
+        # select cost when refetched per emission slot).  A lane that
+        # exhausts its supertile advances its super cursor via the
+        # cached slab (cheap) but only refetches tile rows at the
+        # designated refetch slots; until then it pauses emission for
+        # the round (sentinel slots).  Lexicographic progress per round
+        # is preserved (>= 1 emission or cursor advance per live lane).
+        refetch_at = set(range(_REFETCH_STRIDE - 1, k_emit - 1,
+                               _REFETCH_STRIDE))
         alive = ~done
+        paused = jnp.zeros_like(done)
         key_list = []
         for _k in range(k_emit):
             cand = (hit_t
                     & ((tn_t > lt_t) | ((tn_t == lt_t) & (ids_t > lt_i)))
-                    & alive)
+                    & (alive & ~paused))
             tv = jnp.where(cand, tn_t, _BIG)
             tt = jnp.min(tv, axis=0, keepdims=True)
             iv = jnp.where(cand & (tv <= tt), ids_t, _IBIG)
@@ -275,7 +288,7 @@ def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
             lt_t = jnp.where(emit, tt, lt_t)
             lt_i = jnp.where(emit, ti, lt_i)
             # exhausted lanes: advance the super cursor (cached slab)
-            need2 = alive & ~emit
+            need2 = alive & ~paused & ~emit
             st2, si2, oks = pick_super(ls_t, ls_i)
             adv = need2 & oks
             cur = jnp.where(adv, si2, cur)
@@ -285,9 +298,11 @@ def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
             lt_i = jnp.where(adv, -1.0, lt_i)
             done = done | (need2 & ~oks)
             alive = alive & ~(need2 & ~oks)
+            paused = paused | adv
             progress = progress | emit | adv
-            if _k + 1 < k_emit:
+            if _k in refetch_at:
                 tn_t, hit_t = fetch_rows(cur)
+                paused = jnp.zeros_like(done)
 
         keys_ref[rl, :, :] = jnp.concatenate(key_list, axis=0)
         S_out_ref[rl, :, :] = jnp.concatenate([
@@ -334,6 +349,8 @@ def _select(S, sup_ab, tile_c, ns_real: int, n_tiles_real: int):
 # ---------------------------------------------------------------------------
 
 NBUF = 4            # DMA ring depth (runs in flight)
+CHUNK = 16          # rays per sweep sub-block (MT stays vreg-resident)
+NSTEP = GROUP // CHUNK
 
 
 def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
@@ -345,6 +362,15 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
     block, NBUF-deep ring so ~3 transfers stay in flight ahead of the
     sweep), dense Moller-Trumbore sweep.
 
+    The MT sweep runs in (CHUNK, TILE) ray sub-blocks: at (128, 128)
+    every temporary is 16 vregs and the ~25 live intermediates spill to
+    VMEM (measured ~4 us per (group, tile) pair, VMEM-traffic bound —
+    the round-3 bottleneck); at (16, 128) each temporary is 2 vregs and
+    the whole chain stays in registers.  Rays arrive slot-major as
+    (blk, 8) rows [ox oy oz dx dy dz lim pad]; outputs are written in
+    (CHUNK, NSTEP) layout per group — slot l lives at [l % CHUNK,
+    l // CHUNK] — and the driver untangles with one XLA transpose.
+
     Only (t, id) are tracked; the driver reconstructs u,v once per
     lane from the winning triangle after tracing completes.
 
@@ -354,9 +380,10 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
     tighten best-t earlier."""
     B = GROUP
     lanes = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).reshape(B)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 1)
 
-    t_ref[:, :] = jnp.full(t_ref.shape, _BIG)
-    id_ref[:, :] = jnp.full(id_ref.shape, -1, jnp.int32)
+    t_ref[:, :, :] = jnp.full(t_ref.shape, _BIG)
+    id_ref[:, :, :] = jnp.full(id_ref.shape, -1, jnp.int32)
 
     def start_dma(slot, tid):
         pltpu.make_async_copy(
@@ -369,14 +396,6 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
             scratch.at[slot], dma_sem.at[slot]).wait()
 
     def group(g):
-        sl = pl.ds(g * B, B)
-        ox = rays_ref[0, sl]
-        oy = rays_ref[1, sl]
-        oz = rays_ref[2, sl]
-        dx = rays_ref[3, sl]
-        dy = rays_ref[4, sl]
-        dz = rays_ref[5, sl]
-        lim = rays_ref[6, sl]
         tids = tid_ref[g, :]
 
         def at(vec, i):
@@ -391,46 +410,44 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
             return tid, end
 
         def sweep(slot, tid):
-            bt = t_ref[g, :]
-            p0x = scratch[slot, 0, :]
-            p0y = scratch[slot, 1, :]
-            p0z = scratch[slot, 2, :]
-            e1x = scratch[slot, 3, :]
-            e1y = scratch[slot, 4, :]
-            e1z = scratch[slot, 5, :]
-            e2x = scratch[slot, 6, :]
-            e2y = scratch[slot, 7, :]
-            e2z = scratch[slot, 8, :]
+            def tx(c):
+                return scratch[slot, c, :].reshape(1, TILE)
 
-            def bx(a):
-                return a[:, None]
+            p0x, p0y, p0z = tx(0), tx(1), tx(2)
+            e1x, e1y, e1z = tx(3), tx(4), tx(5)
+            e2x, e2y, e2z = tx(6), tx(7), tx(8)
+            for rs in range(NSTEP):
+                R = rays_ref[pl.ds(g * B + rs * CHUNK, CHUNK), :]
+                ox, oy, oz = R[:, 0:1], R[:, 1:2], R[:, 2:3]
+                dx, dy, dz = R[:, 3:4], R[:, 4:5], R[:, 5:6]
+                lim = R[:, 6:7]
+                bt = t_ref[g, :, rs:rs + 1]          # (CHUNK, 1)
 
-            def tx(a):
-                return a[None, :]
-
-            pvx = bx(dy) * tx(e2z) - bx(dz) * tx(e2y)
-            pvy = bx(dz) * tx(e2x) - bx(dx) * tx(e2z)
-            pvz = bx(dx) * tx(e2y) - bx(dy) * tx(e2x)
-            det = tx(e1x) * pvx + tx(e1y) * pvy + tx(e1z) * pvz
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tvx = bx(ox) - tx(p0x)
-            tvy = bx(oy) - tx(p0y)
-            tvz = bx(oz) - tx(p0z)
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * tx(e1z) - tvz * tx(e1y)
-            qvy = tvz * tx(e1x) - tvx * tx(e1z)
-            qvz = tvx * tx(e1y) - tvy * tx(e1x)
-            v = (bx(dx) * qvx + bx(dy) * qvy + bx(dz) * qvz) * inv_det
-            t = (tx(e2x) * qvx + tx(e2y) * qvy + tx(e2z) * qvz) * inv_det
-            hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
-                   & (u + v <= 1.0) & (t > 0.0) & (t < bx(lim))
-                   & (t < bx(bt)))
-            t = jnp.where(hit, t, _BIG)
-            k = jnp.argmin(t, axis=1)
-            tk = jnp.min(t, axis=1)
-            upd = tk < bt
-            t_ref[g, :] = jnp.where(upd, tk, bt)
-            id_ref[g, :] = jnp.where(upd, tid * TILE + k, id_ref[g, :])
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx = ox - p0x
+                tvy = oy - p0y
+                tvz = oz - p0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
+                       & (u + v <= 1.0) & (t > 0.0) & (t < lim)
+                       & (t < bt))
+                t = jnp.where(hit, t, _BIG)
+                tk = jnp.min(t, axis=1, keepdims=True)
+                k = jnp.min(jnp.where(t <= tk, cols, jnp.int32(TILE)),
+                            axis=1, keepdims=True)
+                upd = tk < bt
+                t_ref[g, :, rs:rs + 1] = jnp.where(upd, tk, bt)
+                id_ref[g, :, rs:rs + 1] = jnp.where(
+                    upd, tid * TILE + k, id_ref[g, :, rs:rs + 1])
 
         def run_info_c(cursor):
             """(tid, end) of the run starting at cursor; SENTINEL past
@@ -481,15 +498,17 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
         group(g)
 
 
-def _run_sweep(rays8, tids, tri_soa, any_hit: bool):
-    """rays8 (8, N) sorted slot columns (ox oy oz dx dy dz lim lim);
+def _run_sweep(rays_nt, tids, tri_soa, any_hit: bool):
+    """rays_nt (N, 8) slot-major sorted rows (ox oy oz dx dy dz lim _);
     tids (N,) i32 sorted tile keys.  Returns (t (N,), id (N,)) —
     best-t and global clustered prim id (-1 on miss)."""
-    n = rays8.shape[1]
+    n = rays_nt.shape[0]
     blk = NG_SW * GROUP
     grid = (n // blk,)
     lane_spec = pl.BlockSpec((NG_SW, GROUP), lambda i: (i, 0),
                              memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((NG_SW, CHUNK, NSTEP), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     import os
     kernel = functools.partial(_run_sweep_kernel, any_hit=any_hit)
     interpret = (jax.default_backend() != "tpu"
@@ -498,23 +517,26 @@ def _run_sweep(rays8, tids, tri_soa, any_hit: bool):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((8, blk), lambda i: (0, i),
+            pl.BlockSpec((blk, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             lane_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=[lane_spec, lane_spec],
+        out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n // GROUP, GROUP), jnp.float32),
-            jax.ShapeDtypeStruct((n // GROUP, GROUP), jnp.int32),
+            jax.ShapeDtypeStruct((n // GROUP, CHUNK, NSTEP), jnp.float32),
+            jax.ShapeDtypeStruct((n // GROUP, CHUNK, NSTEP), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((NBUF, 16, TILE), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
-    )(rays8, tids.reshape(n // GROUP, GROUP), tri_soa)
-    return (t.reshape(n), pid.reshape(n))
+    )(rays_nt, tids.reshape(n // GROUP, GROUP), tri_soa)
+    # slot l of group g sits at [g, l % CHUNK, l // CHUNK]
+    t = jnp.transpose(t, (0, 2, 1)).reshape(n)
+    pid = jnp.transpose(pid, (0, 2, 1)).reshape(n)
+    return (t, pid)
 
 
 # ---------------------------------------------------------------------------
@@ -540,7 +562,7 @@ def _round_body(carry, soa, sup_ab, tile_c, ns_real, n_tiles_real,
 
     ray_rows = jnp.moveaxis(S[:, jnp.array(_RAY_CH), :], 1, 2)
     ray_rows = ray_rows.reshape(npad, 8)
-    t_s, id_s = _run_sweep(ray_rows[lane_of].T, skey, soa, any_hit)
+    t_s, id_s = _run_sweep(ray_rows[lane_of], skey, soa, any_hit)
 
     # un-sort by a second key sort (a slot-indexed scatter measured
     # ~21 ms per round on TPU — the sort is ~10x cheaper)

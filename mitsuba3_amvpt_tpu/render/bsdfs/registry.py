@@ -572,8 +572,12 @@ def _pplastic_sample(p, wi, u1, u2):
 
 def _schlick(F0, cos_t):
     m5 = jnp.clip(1.0 - cos_t, 0.0, 1.0) ** 5
-    return F0 + (1.0 - F0) * m5[..., None] if jnp.ndim(F0) > jnp.ndim(cos_t) \
-        else F0 + (1.0 - F0) * m5
+    # discriminate RGB-valued F0 by its trailing color axis (an ndim
+    # comparison breaks when cos_t carries extra leading batch axes,
+    # e.g. the (J, N) direction batch of bsdf_pdf_matrix)
+    if jnp.ndim(F0) and F0.shape[-1] == 3:
+        return F0 + (1.0 - F0) * m5[..., None]
+    return F0 + (1.0 - F0) * m5
 
 
 def _principled_alphas(p):
@@ -1452,6 +1456,47 @@ def bsdf_eval_pdf(scene, si, wo):
     pdf = jnp.where(is_blend, w * p_a + (1.0 - w) * p_b,
                     jnp.where(is_mask, w * p_a, p_a))
     return f, pdf
+
+
+def bsdf_pdf_matrix(scene, si, wos):
+    """PDFs of J outgoing directions per lane in ONE dispatch.
+
+    ``wos``: (J, N, 3) local directions.  Returns (J, N) pdfs, equal to
+    ``stack([bsdf_eval_pdf(scene, si, wos[j])[1] for j in range(J)])``,
+    but with the packed material-parameter gather and the per-type
+    masked dispatch done ONCE — the J axis rides along as a broadcast
+    leading dimension through the elementwise eval math.  This is the
+    AMVPT exact-tv_pdf hot path (mvpath_multi.h:466-523 computes the
+    full S x S view-pdf matrix per bounce; S+1 separate dispatches
+    re-gathered parameters every time).
+
+    Data-driven BSDFs (measured / measured_polarized / hair) do table
+    lookups that don't broadcast over J; scenes containing them fall
+    back to the loop (correct, just not fused).
+    """
+    J = wos.shape[0]
+    tp = set(scene.materials.types_present)
+    if tp & {D_MEASURED, D_MEASURED_POL, D_HAIR}:
+        return jnp.stack([bsdf_eval_pdf(scene, si, wos[j])[1]
+                          for j in range(J)])
+    si_m = apply_shading_maps(scene, si)
+    if si_m is not si:
+        wos = si_m.to_local(si.to_world(wos))
+    si = si_m
+    mt = scene.materials
+    if D_BLEND not in mt.types_present and D_MASK not in mt.types_present:
+        return _eval_pdf_inner(scene, si, wos)[1]
+    i = jnp.maximum(si.material_index, 0)
+    t = mt.mtype[i]
+    is_blend = t == D_BLEND
+    is_mask = t == D_MASK
+    w = _blend_weight(scene, si)
+    ca = jnp.where(is_blend | is_mask, mt.child_a[i], si.material_index)
+    cb = jnp.where(is_blend, mt.child_b[i], si.material_index)
+    _, p_a = _eval_pdf_inner(scene, si.replace(material_index=ca), wos)
+    _, p_b = _eval_pdf_inner(scene, si.replace(material_index=cb), wos)
+    return jnp.where(is_blend, w * p_a + (1.0 - w) * p_b,
+                     jnp.where(is_mask, w * p_a, p_a))
 
 
 def bsdf_flags_delta(scene, si):

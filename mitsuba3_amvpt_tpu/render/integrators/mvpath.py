@@ -53,8 +53,8 @@ import jax.numpy as jnp
 
 from ...core import math as m
 from ...core.rng import Sampler
-from ..bsdfs import (bsdf_eval_pdf, bsdf_flags_delta, bsdf_sample,
-                     eval_roughness)
+from ..bsdfs import (bsdf_eval_pdf, bsdf_flags_delta, bsdf_pdf_matrix,
+                     bsdf_sample, eval_roughness)
 from ..film import film_develop, film_prepare, film_put, film_put_coalesced
 from ..records import Ray
 from . import path as path_mod
@@ -275,11 +275,19 @@ def _sample_multi_batched(scene, si, ray, pos, p_view, sampler, S,
         pdfM0 = jnp.where(diffuse, 1.0, _pdfM(si.wi))
         pdfMk = _pdfM(wi_k.reshape(-1, 3)).reshape(S, n)
         pdfMk = pdfMk.at[0].set(pdfM0)
+        P = None
     else:
-        # exact: BSDF pdf of each view's reflected direction
-        # (mvpath_multi.h:396,411 non-fast branch)
-        _, pMk = bsdf_eval_pdf(scene, si_all, wo_r.reshape(-1, 3))
-        pdfMk = jnp.where(diffuse[None], 1.0, pMk.reshape(S, n))
+        # exact: the FULL (S_j, S_k) matrix of BSDF pdfs — P[j, k] is
+        # view j's reflected direction evaluated under view k's wi —
+        # in ONE dispatch (params gathered once); the diagonal is the
+        # per-view self-pdf (mvpath_multi.h:396,411 non-fast branch),
+        # column 0 feeds camera selection, rows j>=1 feed mis_weights.
+        # Replaces S+1 separate bsdf_eval_pdf dispatches (VERDICT r3 #3).
+        wos = jnp.broadcast_to(wo_r[:, None], (S, S, n, 3))
+        P = bsdf_pdf_matrix(scene, si_all,
+                            wos.reshape(S, S * n, 3)).reshape(S, S, n)
+        pMk = jnp.moveaxis(jnp.diagonal(P, axis1=0, axis2=1), -1, 0)
+        pdfMk = jnp.where(diffuse[None], 1.0, pMk)
         pdfM0 = pdfMk[0]
 
     # ---- one shadow trace toward all S-1 secondary cameras ----
@@ -295,9 +303,7 @@ def _sample_multi_batched(scene, si, ray, pos, p_view, sampler, S,
                                 jnp.tile(alpha, S),
                                 jnp.tile(diffuse, S)).reshape(S, n)
     else:
-        _, p_l0 = bsdf_eval_pdf(scene, si_all, jnp.tile(wo_r0, (S, 1)))
-        pdf_mat0k = tv_pdf_exact(p_l0.reshape(S, n), pdfMk,
-                                 alpha[None], diffuse[None])
+        pdf_mat0k = tv_pdf_exact(P[0], pdfMk, alpha[None], diffuse[None])
     J = Jp * iJp0[None]
     pdf_J = jnp.where(J > 1.0, m.safe_div(1.0, J), J)
     pdf_sel = pdf_mat0k * pdf_J
@@ -349,23 +355,23 @@ def _sample_multi_batched(scene, si, ray, pos, p_view, sampler, S,
     # ---- per-view MIS film weights (mis_weights mvpath_multi.h:466-523)
     # pdfSum_k = pdf_lk + [k>0] p(k) + sum_{j>=1,j!=k,accepted}
     #            p(j) * min((Jp_j/Jp_k)^2, 1) * pdf_Mat(j->k)
+    # vectorized over the (j, k) pair axis — the per-j Python loop
+    # compiled S-1 separate (S, N) sweeps (and, under exact tv_pdf,
+    # S-1 separate BSDF dispatches: the O(S^2) cost VERDICT r3 #3
+    # flagged); one (S, S, N) elementwise block fuses instead.
     iJpk = m.safe_div(1.0, Jp)                                  # (S, N)
-    cross = jnp.zeros((S, n))
-    for j in range(1, S):
-        pdf_Jjk = jnp.minimum((Jp[j][None] * iJpk) ** 2, 1.0)   # (S, N)
-        if fast_mis:
-            pdf_mat_jk = tv_pdf_fast(
-                jnp.tile(wo_r[j], (S, 1)), wi_k.reshape(-1, 3),
-                pdfMk.reshape(-1), jnp.tile(alpha, S),
-                jnp.tile(diffuse, S)).reshape(S, n)
-        else:
-            _, p_lj = bsdf_eval_pdf(scene, si_all,
-                                    jnp.tile(wo_r[j], (S, 1)))
-            pdf_mat_jk = tv_pdf_exact(p_lj.reshape(S, n), pdfMk,
-                                      alpha[None], diffuse[None])
-        term = p_pdf[j][None] * pdf_Jjk * pdf_mat_jk
-        term = term.at[j].set(0.0)          # j == k excluded
-        cross = cross + jnp.where(valid_k[j][None], term, 0.0)
+    pdf_Jjk = jnp.minimum((Jp[:, None] * iJpk[None]) ** 2, 1.0)  # (Sj,Sk,N)
+    if fast_mis:
+        pdf_mat_jk = tv_pdf_fast(wo_r[:, None], wi_k[None],
+                                 pdfMk[None], alpha[None, None],
+                                 diffuse[None, None])            # (Sj,Sk,N)
+    else:
+        pdf_mat_jk = tv_pdf_exact(P, pdfMk[None], alpha[None, None],
+                                  diffuse[None, None])
+    term = p_pdf[:, None] * pdf_Jjk * pdf_mat_jk
+    term = jnp.where(jnp.eye(S, dtype=bool)[:, :, None], 0.0, term)
+    term = jnp.where(valid_k[:, None], term, 0.0)
+    cross = jnp.sum(term[1:], axis=0)                            # j >= 1
     cond = jnp.concatenate([reuse[None], valid_k[1:]], 0)
     pdf_sum = pdf_lk + jnp.where(cond, cross, 0.0)
     pdf_sum = pdf_sum.at[1:].add(p_pdf[1:])    # p(k->k) = p(k) for k>0
