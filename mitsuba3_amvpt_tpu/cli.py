@@ -73,7 +73,57 @@ def main(argv=None):
                          "positional argument is the quilt image")
     ap.add_argument("--grid", default="8x1",
                     help="quilt grid COLSxROWS for --quilt-gif")
-    args = ap.parse_args(argv)
+    ap.add_argument("--tonemap", action="store_true",
+                    help="treat positional args as EXR images: write "
+                         "dithered sRGB PNGs next to them "
+                         "(tonemap.py parity)")
+    ap.add_argument("--scale", type=float, default=1.0,
+                    help="linear pre-scale for --tonemap/--polvis")
+    ap.add_argument("--polvis", metavar="MODES",
+                    help="comma list of Stokes visualizations to write "
+                         "from a 12-channel stokes EXR (polvis.py "
+                         "parity): intensity,s1,s2,s3,dop,top,lin or "
+                         "'all'; add pol<angle> for a virtual linear "
+                         "polarizer sweep frame")
+    ap.add_argument("--overlay", choices=["direct", "luminance"],
+                    help="polvis overlay mode")
+    args, extra_files = ap.parse_known_args(argv)
+
+    if args.tonemap:
+        from .utils.polvis import tonemap_file
+        files = ([args.scene] if args.scene else []) + extra_files
+        for f in files:
+            out = tonemap_file(f, scale=args.scale)
+            print(f'wrote "{out}"')
+        return 0
+
+    if args.polvis:
+        import os
+
+        import numpy as np
+
+        from .core.bitmap import write_image
+        from .utils.polvis import apply_polarizer, load_stokes, polvis
+        st = load_stokes(args.scene)
+        base = os.path.splitext(args.scene)[0]
+        modes = args.polvis.split(",")
+        if "all" in modes:
+            modes = ["intensity", "s1", "s2", "s3", "dop", "top", "lin"]
+        vis = polvis(st, scale=args.scale, overlay=args.overlay)
+        for mode in modes:
+            if mode.startswith("pol"):
+                ang = float(mode[3:])
+                img = apply_polarizer(st, ang) * args.scale
+                out = f"{base}_polarizer_{ang:.2f}.png"
+            else:
+                img = vis[mode]
+                out = f"{base}_{mode}.png"
+            write_image(out, np.clip(img, 0.0, 1.0))
+            print(f'wrote "{out}"')
+        return 0
+
+    if extra_files:
+        ap.error(f"unrecognized arguments: {extra_files}")
 
     if args.quilt_gif:
         return _quilt_gif(args)

@@ -29,13 +29,24 @@ def _write_attr(f, name, typ, data):
     f.write(data)
 
 
-def write_exr(path: str, img: np.ndarray, half: bool = False):
-    """Write (H, W, C<=4) float array as a zip-compressed scanline EXR."""
+def write_exr(path: str, img: np.ndarray, half: bool = False,
+              channel_names=None):
+    """Write (H, W, C) float array as a zip-compressed scanline EXR.
+
+    C in (1, 3, 4) uses the standard Y/RGB/RGBA channel names; other
+    widths (e.g. the 12-channel stacked Stokes layout) get generated
+    names c00..cNN unless ``channel_names`` is given."""
     img = np.asarray(img, np.float32)
     if img.ndim == 2:
         img = img[..., None]
     H, W, C = img.shape
-    names = {1: ["Y"], 3: ["R", "G", "B"], 4: ["R", "G", "B", "A"]}[C]
+    if channel_names is not None:
+        names = list(channel_names)
+        assert len(names) == C
+    else:
+        names = {1: ["Y"], 3: ["R", "G", "B"],
+                 4: ["R", "G", "B", "A"]}.get(
+            C, [f"c{i:02d}" for i in range(C)])
     order = np.argsort(names)  # EXR requires alphabetical channel order
     pt = _PT_HALF if half else _PT_FLOAT
     dtype = np.float16 if half else np.float32

@@ -46,8 +46,9 @@ CONDUCTORS = {
 }
 
 _SHAPE_TYPES = ("rectangle", "cube", "disk", "cylinder", "sphere", "obj",
-                "ply", "serialized", "trimesh", "instance", "merge",
-                "shapegroup", "linearcurve", "bsplinecurve", "sdfgrid")
+                "ply", "serialized", "trimesh", "blender", "instance",
+                "merge", "shapegroup", "linearcurve", "bsplinecurve",
+                "sdfgrid")
 
 _BSDF_TYPE = {
     "diffuse": bsdf_reg.D_DIFFUSE,
@@ -852,7 +853,11 @@ class _Builder:
                 radial=int(spec.get("radial", 8)),
                 to_world=tw)
             tw = np.eye(4)
-        elif t == "trimesh":
+        elif t in ("trimesh", "blender"):
+            if t == "blender":
+                # Blender-exporter pointer mesh (blender.cpp:443)
+                from .blender import load_blender_mesh
+                spec = dict(spec, **load_blender_mesh(spec))
             v = np.asarray(spec["vertices"], np.float64)
             f = np.asarray(spec["faces"], np.int32)
             vn = spec.get("normals")

@@ -50,8 +50,16 @@ SUPER = 32          # tiles per supertile
 GROUP = 128         # lanes per sweep group (one tile-run walk each)
 NG_SW = 8           # groups per sweep-kernel invocation (8 sublanes min)
 RL = 8              # lane rows per select-kernel block (RL*128 lanes)
-K_EMIT = 8          # tiles emitted per ray per round
-_REFETCH_STRIDE = 4  # emission slots per tile-row fetch (2 fetches/round)
+import os as _os
+
+K_EMIT = int(_os.environ.get("MT_K_EMIT", "4"))
+                    # tiles emitted per ray per round (measured TRUE
+                    # front-to-back visits on the 1M bench scene:
+                    # mean 3.3, p90 5, p99 6 — scripts/visit_stats.py;
+                    # K=8 wasted ~60% of all sort/gather/sweep slots)
+_REFETCH_STRIDE = int(_os.environ.get("MT_REFETCH", "1"))
+                    # emission slots per tile-row fetch; 1 = refetch
+                    # after every emission (fewest rounds)
 NCH = 20            # state channels per lane (see _CH below)
 _BIG = 3e38
 _IBIG = 1.0e9
@@ -348,42 +356,53 @@ def _select(S, sup_ab, tile_c, ns_real: int, n_tiles_real: int):
 # Pallas run-sweep kernel (unchanged architecture from v1)
 # ---------------------------------------------------------------------------
 
-NBUF = 4            # DMA ring depth (runs in flight)
+NBUF = 8            # DMA ring depth (runs in flight): the chunked MT
+                    # sweep is ~0.8 us/run, so 7 runs of lead time are
+                    # needed to hide multi-us HBM DMA latency
 CHUNK = 16          # rays per sweep sub-block (MT stays vreg-resident)
 NSTEP = GROUP // CHUNK
 
 
-def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
+def _run_sweep_kernel(runs_ref, rays_ref, tris_hbm,
                       t_ref, id_ref,
-                      scratch, dma_sem, *, any_hit: bool):
+                      scratch, rt, dma_sem, *, any_hit: bool):
     """One invocation covers NG_SW groups of GROUP lanes (block shapes
     need >= 8 sublanes).  Each group's lanes are sorted by tile id; the
-    group walks its runs: DMA the run's tile (one contiguous 8 KB
-    block, NBUF-deep ring so ~3 transfers stay in flight ahead of the
-    sweep), dense Moller-Trumbore sweep.
+    group walks its DISTINCT tiles: DMA the tile (one contiguous 8 KB
+    block, NBUF-deep ring), dense Moller-Trumbore sweep.
+
+    Two measured poisons shaped this version (round-4 diagnostics):
+
+    * The per-group run list arrives PRECOMPUTED in SMEM (``runs_ref``,
+      built by one vectorized XLA pass in the driver).  The previous
+      kernel derived each run with masked vector reductions read back
+      to scalars — ~2.2 us of vector->SMEM round-trip latency PER RUN,
+      which dominated the whole sweep (17.9 of 24.8 ms with the MT
+      math deleted).  An SMEM word load is a few cycles.
+    * Rays arrive channel-major (8, blk): the slot-major (blk, 8)
+      layout was lane-padded 8 -> 128 by Mosaic, so every grid step
+      DMA'd 512 KB instead of 32 KB (measured as an 8.7 us/step floor
+      with the kernel body empty).  Each group transposes its (8, 128)
+      ray block ONCE into VMEM scratch ``rt``; the chunked sweep then
+      reads (CHUNK, 8) sub-blocks from scratch.
 
     The MT sweep runs in (CHUNK, TILE) ray sub-blocks: at (128, 128)
     every temporary is 16 vregs and the ~25 live intermediates spill to
-    VMEM (measured ~4 us per (group, tile) pair, VMEM-traffic bound —
-    the round-3 bottleneck); at (16, 128) each temporary is 2 vregs and
-    the whole chain stays in registers.  Rays arrive slot-major as
-    (blk, 8) rows [ox oy oz dx dy dz lim pad]; outputs are written in
-    (CHUNK, NSTEP) layout per group — slot l lives at [l % CHUNK,
-    l // CHUNK] — and the driver untangles with one XLA transpose.
-
-    Only (t, id) are tracked; the driver reconstructs u,v once per
-    lane from the winning triangle after tracing completes.
+    VMEM (measured ~4 us per (group, tile) pair); at (16, 128) each
+    temporary is 2 vregs and the chain stays in registers.  Outputs are
+    written in (CHUNK, NSTEP) layout per group — slot l lives at
+    [l % CHUNK, l // CHUNK] — and the driver untangles with one XLA
+    transpose.  Only (t, id) are tracked; the driver reconstructs u,v
+    once per lane from the winning triangle after tracing completes.
 
     All lanes of a group test every run tile (dense VPU cost equals a
     masked sweep, and Mosaic cannot reshape i1 vectors): lanes outside
     the run pick up bonus hits — genuine intersections that only
     tighten best-t earlier."""
     B = GROUP
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, B), 1).reshape(B)
     cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 1)
-
-    t_ref[:, :, :] = jnp.full(t_ref.shape, _BIG)
-    id_ref[:, :, :] = jnp.full(id_ref.shape, -1, jnp.int32)
+    init_T = jnp.full((CHUNK, NSTEP), _BIG)
+    init_I = jnp.full((CHUNK, NSTEP), -1, jnp.int32)
 
     def start_dma(slot, tid):
         pltpu.make_async_copy(
@@ -396,32 +415,24 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
             scratch.at[slot], dma_sem.at[slot]).wait()
 
     def group(g):
-        tids = tid_ref[g, :]
-
-        def at(vec, i):
-            """vec[i] via masked reduce (no 1D dynamic_slice in TC)."""
-            fill = jnp.array(jnp.iinfo(vec.dtype).max, vec.dtype)
-            return jnp.min(jnp.where(lanes == i, vec, fill))
-
-        def run_info(cursor):
-            tid = at(tids, cursor)
-            in_run = tids == tid
-            end = jnp.max(jnp.where(in_run, lanes + 1, 0))
-            return tid, end
-
-        def sweep(slot, tid):
+        def sweep(slot, tid, T, I):
+            """Best-so-far (T, I) live in the while-loop CARRY, not in
+            the output refs: per-chunk (CHUNK, 1) column read/writes on
+            a lane-width-NSTEP ref were sliver accesses that dominated
+            the kernel; as carried values they are register slices."""
             def tx(c):
                 return scratch[slot, c, :].reshape(1, TILE)
 
             p0x, p0y, p0z = tx(0), tx(1), tx(2)
             e1x, e1y, e1z = tx(3), tx(4), tx(5)
             e2x, e2y, e2z = tx(6), tx(7), tx(8)
+            cand_t, cand_k = [], []
             for rs in range(NSTEP):
-                R = rays_ref[pl.ds(g * B + rs * CHUNK, CHUNK), :]
+                R = rt[pl.ds(rs * CHUNK, CHUNK), :]
                 ox, oy, oz = R[:, 0:1], R[:, 1:2], R[:, 2:3]
                 dx, dy, dz = R[:, 3:4], R[:, 4:5], R[:, 5:6]
                 lim = R[:, 6:7]
-                bt = t_ref[g, :, rs:rs + 1]          # (CHUNK, 1)
+                bt = T[:, rs:rs + 1]                 # (CHUNK, 1)
 
                 pvx = dy * e2z - dz * e2y
                 pvy = dz * e2x - dx * e2z
@@ -444,69 +455,75 @@ def _run_sweep_kernel(rays_ref, tid_ref, tris_hbm,
                 tk = jnp.min(t, axis=1, keepdims=True)
                 k = jnp.min(jnp.where(t <= tk, cols, jnp.int32(TILE)),
                             axis=1, keepdims=True)
-                upd = tk < bt
-                t_ref[g, :, rs:rs + 1] = jnp.where(upd, tk, bt)
-                id_ref[g, :, rs:rs + 1] = jnp.where(
-                    upd, tid * TILE + k, id_ref[g, :, rs:rs + 1])
+                cand_t.append(tk)
+                cand_k.append(k)
+            ct = jnp.concatenate(cand_t, axis=1)     # (CHUNK, NSTEP)
+            ck = jnp.concatenate(cand_k, axis=1)
+            upd = ct < T
+            return (jnp.where(upd, ct, T),
+                    jnp.where(upd, tid * TILE + ck, I))
 
-        def run_info_c(cursor):
-            """(tid, end) of the run starting at cursor; SENTINEL past
-            the block or on sentinel keys."""
-            tid, end = run_info(jnp.minimum(cursor, B - 1))
-            tid = jnp.where(cursor < B, tid, jnp.int32(SENTINEL))
-            end = jnp.where(cursor < B, end, jnp.int32(B))
-            return tid, end
-
-        @pl.when(at(tids, 0) != SENTINEL)
+        @pl.when(runs_ref[g, 0] != SENTINEL)
         def _():
-            # warmup: resolve the first NBUF runs, start their DMAs
-            ring = []
-            cur = jnp.int32(0)
+            # the group's rays, re-laid out (GROUP, 8) once
+            rt[:, :] = jnp.transpose(
+                rays_ref[:, pl.ds(g * B, B)], (1, 0))
+            # warmup: start the first NBUF tile DMAs
             for j in range(NBUF):
-                tj, ej = run_info_c(cur)
+                tj = runs_ref[g, j]
 
                 @pl.when(tj != SENTINEL)
                 def _(tj=tj, j=j):
                     start_dma(j, tj)
 
-                ring.append(tj)
-                ring.append(ej)
-                cur = ej
-
             def body(carry):
-                i = carry[0]
-                ring = carry[1:]
-                tid, end = ring[0], ring[1]
-                slot = i % NBUF
+                r, T, I = carry
+                tid = runs_ref[g, r]
+                slot = jax.lax.rem(r, NBUF)
                 wait_dma(slot, tid)
-                sweep(slot, tid)
-                # refill the slot with run i+NBUF (kept NBUF-1 ahead)
-                t_n, e_n = run_info_c(ring[-1])
+                T, I = sweep(slot, tid, T, I)
+                t_n = runs_ref[g, r + NBUF]
 
                 @pl.when(t_n != SENTINEL)
                 def _():
                     start_dma(slot, t_n)
 
-                return (i + 1,) + tuple(ring[2:]) + (t_n, e_n)
+                return (r + 1, T, I)
 
-            def cond(carry):
-                return carry[1] != SENTINEL
+            _, T, I = jax.lax.while_loop(
+                lambda c: runs_ref[g, c[0]] != SENTINEL, body,
+                (jnp.int32(0), init_T, init_I))
+            t_ref[g, :, :] = T
+            id_ref[g, :, :] = I
 
-            jax.lax.while_loop(cond, body, (jnp.int32(0), *ring))
+        @pl.when(runs_ref[g, 0] == SENTINEL)
+        def _():
+            t_ref[g, :, :] = init_T
+            id_ref[g, :, :] = init_I
 
     for g in range(NG_SW):
         group(g)
 
 
-def _run_sweep(rays_nt, tids, tri_soa, any_hit: bool):
-    """rays_nt (N, 8) slot-major sorted rows (ox oy oz dx dy dz lim _);
-    tids (N,) i32 sorted tile keys.  Returns (t (N,), id (N,)) —
-    best-t and global clustered prim id (-1 on miss)."""
-    n = rays_nt.shape[0]
+def _run_sweep(rays8, tids, tri_soa, any_hit: bool):
+    """rays8 (8, N) channel-major sorted slot columns (ox oy oz dx dy
+    dz lim _); tids (N,) i32 sorted tile keys.  Returns (t (N,),
+    id (N,)) — best-t and global clustered prim id (-1 on miss)."""
+    n = rays8.shape[1]
     blk = NG_SW * GROUP
     grid = (n // blk,)
-    lane_spec = pl.BlockSpec((NG_SW, GROUP), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)
+    ngroups = n // GROUP
+    # per-group DISTINCT-tile lists (run walk tables), one vectorized
+    # pass: runs are maximal same-key spans of the sorted keys, so the
+    # distinct tiles of a group are its run-start keys; the row sort
+    # left-aligns them ascending (= front-to-back id order) with
+    # SENTINEL padding, plus NBUF pad columns for the ring lookahead
+    gkey = tids.reshape(ngroups, GROUP)
+    is_start = jnp.concatenate(
+        [jnp.ones((ngroups, 1), bool), gkey[:, 1:] != gkey[:, :-1]], 1)
+    runs = jnp.sort(jnp.where(is_start, gkey, SENTINEL), axis=1)
+    runs = jnp.pad(runs, ((0, 0), (0, NBUF)), constant_values=SENTINEL)
+
     out_spec = pl.BlockSpec((NG_SW, CHUNK, NSTEP), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     import os
@@ -517,22 +534,24 @@ def _run_sweep(rays_nt, tids, tri_soa, any_hit: bool):
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((blk, 8), lambda i: (i, 0),
+            pl.BlockSpec((NG_SW, GROUP + NBUF), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((8, blk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            lane_spec,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[out_spec, out_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((n // GROUP, CHUNK, NSTEP), jnp.float32),
-            jax.ShapeDtypeStruct((n // GROUP, CHUNK, NSTEP), jnp.int32),
+            jax.ShapeDtypeStruct((ngroups, CHUNK, NSTEP), jnp.float32),
+            jax.ShapeDtypeStruct((ngroups, CHUNK, NSTEP), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((NBUF, 16, TILE), jnp.float32),
+            pltpu.VMEM((GROUP, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
-    )(rays_nt, tids.reshape(n // GROUP, GROUP), tri_soa)
+    )(runs, rays8, tri_soa)
     # slot l of group g sits at [g, l % CHUNK, l // CHUNK]
     t = jnp.transpose(t, (0, 2, 1)).reshape(n)
     pid = jnp.transpose(pid, (0, 2, 1)).reshape(n)
@@ -562,7 +581,7 @@ def _round_body(carry, soa, sup_ab, tile_c, ns_real, n_tiles_real,
 
     ray_rows = jnp.moveaxis(S[:, jnp.array(_RAY_CH), :], 1, 2)
     ray_rows = ray_rows.reshape(npad, 8)
-    t_s, id_s = _run_sweep(ray_rows[lane_of], skey, soa, any_hit)
+    t_s, id_s = _run_sweep(ray_rows[lane_of].T, skey, soa, any_hit)
 
     # un-sort by a second key sort (a slot-indexed scatter measured
     # ~21 ms per round on TPU — the sort is ~10x cheaper)

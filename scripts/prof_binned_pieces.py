@@ -105,7 +105,7 @@ def main():
     ray_rows = ray_rows.reshape(npad, 8)
 
     def dogather(lane_of, ray_rows):
-        return ray_rows[lane_of]
+        return ray_rows[lane_of].T
     rows8 = timeit("gather rows8", jax.jit(dogather), lane_of, ray_rows)
 
     def dosweep(rows8, skey):

@@ -37,7 +37,7 @@ def main():
     soa = jnp.asarray(rng.random((n_tiles, 16, bt.TILE), np.float32))
 
     n = 1 << 19   # 524288 slots, like round 1 at 131k lanes K=4
-    rays = jnp.asarray(rng.random((n, 8), np.float32))
+    rays = jnp.asarray(rng.random((8, n), np.float32))
 
     sweep = jax.jit(lambda r, k: bt._run_sweep(r, k, soa, False))
 

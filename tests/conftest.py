@@ -30,3 +30,24 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_runtest_protocol(item, nextitem):
+    """Rerun tests marked ``flaky_stat`` up to 2 extra times.
+
+    Statistical A/B tests (fixed seeds, tight variance margins) can be
+    taken down by unrelated xdist worker churn under load; a rerun
+    absorbs that without loosening the margins (VERDICT r3 #8).  Only
+    the final attempt is reported."""
+    if item.get_closest_marker("flaky_stat") is None:
+        return None
+    from _pytest.runner import runtestprotocol
+    for attempt in range(3):
+        reports = runtestprotocol(item, nextitem=nextitem, log=False)
+        if not any(r.failed for r in reports) or attempt == 2:
+            for r in reports:
+                item.ihook.pytest_runtest_logreport(report=r)
+            return True
+        import warnings
+        warnings.warn(f"flaky_stat rerun {attempt + 1} of {item.nodeid}")
+    return True

@@ -61,6 +61,7 @@ class TestAdaptiveBudget:
         assert allocs[-1][1] >= 0.25 / 2 - 1e-6
 
     @pytest.mark.slow
+    @pytest.mark.flaky_stat
     def test_unbiased_vs_uniform(self):
         """Non-uniform pixel sampling must not bias the image (weight
         channel normalization): compare view means vs a plain render."""

@@ -145,6 +145,7 @@ def _occluder_scene_cluttered(shift_x=0.0):
 
 class TestGridGuiding:
     @pytest.mark.slow
+    @pytest.mark.flaky_stat
     def test_variance_reduction_and_unbiasedness(self):
         """Grid guiding must cut boundary-gradient variance on a scene
         where silhouette edges are a small fraction of edge length,
