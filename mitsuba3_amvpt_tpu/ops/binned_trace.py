@@ -52,11 +52,14 @@ NG_SW = 8           # groups per sweep-kernel invocation (8 sublanes min)
 RL = 8              # lane rows per select-kernel block (RL*128 lanes)
 import os as _os
 
-K_EMIT = int(_os.environ.get("MT_K_EMIT", "4"))
-                    # tiles emitted per ray per round (measured TRUE
+K_EMIT = int(_os.environ.get("MT_K_EMIT", "6"))
+                    # tiles emitted per ray per round.  Measured TRUE
                     # front-to-back visits on the 1M bench scene:
-                    # mean 3.3, p90 5, p99 6 — scripts/visit_stats.py;
-                    # K=8 wasted ~60% of all sort/gather/sweep slots)
+                    # mean 3.3, p90 5, p99 6 (scripts/visit_stats.py);
+                    # the round-4 scan (scripts/tune_binned.py) over
+                    # K in {2,4,6,8} put the optimum at 6 — larger K
+                    # wastes sort/gather/sweep slots, smaller K pays
+                    # fixed per-round costs more often
 _REFETCH_STRIDE = int(_os.environ.get("MT_REFETCH", "1"))
                     # emission slots per tile-row fetch; 1 = refetch
                     # after every emission (fewest rounds)

@@ -186,3 +186,37 @@ class TestReferenceConfiguration:
         sig = inspect.signature(render_mvpath)
         assert sig.parameters["fast_mis"].default is False
         assert sig.parameters["n_adapt"].default == 0
+
+
+class TestEqualTime:
+    def test_reuse_vs_independent_mse_machinery(self):
+        """The equal-wall-clock A/B machinery (bench.py
+        amvpt_equal_time_mse_ratio): reuse and independent renders of
+        the same quilt must both converge toward the same reference so
+        their MSE ratio is a meaningful scalar.  (The wall-clock
+        matched comparison itself runs on TPU in bench.py — CPU timing
+        would measure the interpreter, not the algorithm.)"""
+        sc, res = grid_scene(2, cone_deg=20)
+        ref = np.asarray(mt.render(sc, spp=256, max_depth=3, seed=9))
+        img_r = np.asarray(render_mvpath(sc, spp=24, max_depth=3,
+                                         seed=1, fast_mis=False))
+        img_i = np.asarray(mt.render(sc, spp=24, max_depth=3, seed=2))
+        mse_r = float(np.mean((img_r - ref) ** 2))
+        mse_i = float(np.mean((img_i - ref) ** 2))
+        assert np.isfinite(mse_r) and np.isfinite(mse_i)
+        assert mse_r > 0 and mse_i > 0
+        # at EQUAL spp, reuse must not be dramatically worse than
+        # independent sampling (it shares suffixes but adds weights)
+        assert mse_r < 4.0 * mse_i, (mse_r, mse_i)
+
+    def test_useful_query_accounting(self):
+        """with_queries returns a positive count bounded by the billed
+        wavefront (primary + NEE + camera shadows + suffix walk)."""
+        sc, res = grid_scene(2, cone_deg=20)
+        img, nq = render_mvpath(sc, spp=8, max_depth=3, seed=0,
+                                with_queries=True)
+        n_lanes = 2 * res * res * 8
+        assert float(nq) > n_lanes          # at least the primaries
+        S = 2
+        bound = n_lanes * (1 + 1 + (S - 1) + 2 * 2)
+        assert float(nq) <= bound, (float(nq), bound)
