@@ -19,6 +19,8 @@ SurfaceInteraction reconstruction happens in render/scene.py
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -143,11 +145,16 @@ def intersect_brute(geom, o, d, maxt, tile: int = 128,
                                         q0[None], q1[None], q2[None])
             t = jnp.where(val[None, :], t, jnp.inf)
             t = jnp.where(t < bt[:, None], t, jnp.inf)
+            # min + one-hot select, NOT take_along_axis: a per-lane
+            # row gather costs ~2 ms/Mlane on TPU (measured as the
+            # entire Veach slowdown at the sphere-merge site below)
             k = jnp.argmin(t, axis=1)
-            tk = jnp.take_along_axis(t, k[:, None], 1)[:, 0]
+            tk = jnp.min(t, axis=1)
             upd = jnp.isfinite(tk)
-            uk = jnp.take_along_axis(u, k[:, None], 1)[:, 0]
-            vk = jnp.take_along_axis(v, k[:, None], 1)[:, 0]
+            oh = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) \
+                == k[:, None]
+            uk = jnp.sum(jnp.where(oh, u, 0.0), axis=1)
+            vk = jnp.sum(jnp.where(oh, v, 0.0), axis=1)
             bt = jnp.where(upd, tk, bt)
             buv = jnp.where(upd[:, None], jnp.stack([uk, vk], -1), buv)
             bprim = jnp.where(upd, tid * tile + k, bprim)
@@ -162,8 +169,11 @@ def intersect_brute(geom, o, d, maxt, tile: int = 128,
         t, hit = ray_sphere(o[:, None, :], d[:, None, :],
                             geom.sph_center[None], geom.sph_radius[None])
         t = jnp.where(t < best_t[:, None], t, jnp.inf)
+        # min-reduce, NOT argmin + take_along_axis: the row gather ran
+        # once per query and cost ~8 ms/Mlane-query — it alone made
+        # Veach (4 passive spheres) 3.9x slower than Cornell
         k = jnp.argmin(t, axis=1)
-        tk = jnp.take_along_axis(t, k[:, None], 1)[:, 0]
+        tk = jnp.min(t, axis=1)
         upd = jnp.isfinite(tk)
         best_t = jnp.where(upd, tk, best_t)
         best_prim = jnp.where(upd, F + k, best_prim)
@@ -387,7 +397,7 @@ def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
                              geom.sph_center[None], geom.sph_radius[None])
         ts = jnp.where(ts < jnp.minimum(best[0], maxt)[:, None], ts, jnp.inf)
         k = jnp.argmin(ts, axis=1)
-        tk = jnp.take_along_axis(ts, k[:, None], 1)[:, 0]
+        tk = jnp.min(ts, axis=1)
         upd = jnp.isfinite(tk)
         F = geom.tri_p0.shape[0]
         best = (jnp.where(upd, tk, best[0]),
@@ -439,8 +449,9 @@ def _intersect_instances(geom, o, d, maxt, best):
         k = jnp.argmin(t, axis=1)
         tk = jnp.min(t, axis=1)
         upd = jnp.isfinite(tk)
-        uk = jnp.take_along_axis(u, k[:, None], 1)[:, 0]
-        vk = jnp.take_along_axis(v, k[:, None], 1)[:, 0]
+        oh = jax.lax.broadcasted_iota(jnp.int32, t.shape, 1) == k[:, None]
+        uk = jnp.sum(jnp.where(oh, u, 0.0), axis=1)
+        vk = jnp.sum(jnp.where(oh, v, 0.0), axis=1)
         bt = jnp.where(upd, tk, bt)
         buv = jnp.where(upd[:, None], jnp.stack([uk, vk], -1), buv)
         bprim = jnp.where(upd, base + p_base + k, bprim)

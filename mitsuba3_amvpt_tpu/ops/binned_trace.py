@@ -592,11 +592,11 @@ def _round_body(carry, soa, sup_ab, tile_c, ns_real, n_tiles_real,
     t_o = jnp.where(t_o >= _BIG * 0.5, jnp.inf, t_o).reshape(K_EMIT, npad)
     id_o = id_o.reshape(K_EMIT, npad)
     kbest = jnp.argmin(t_o, axis=0)
-    tt_c = jnp.take_along_axis(t_o, kbest[None], 0)[0]
+    tt_c = jnp.min(t_o, axis=0)
     upd = tt_c < bt
     bt = jnp.where(upd, tt_c, bt)
-    bid = jnp.where(upd, jnp.take_along_axis(id_o, kbest[None], 0)[0],
-                    bid)
+    oh = jax.lax.broadcasted_iota(jnp.int32, id_o.shape, 0) == kbest[None]
+    bid = jnp.where(upd, jnp.sum(jnp.where(oh, id_o, 0), axis=0), bid)
 
     # write back limit (+ any-hit early-done) into the state
     limit = jnp.minimum(

@@ -122,6 +122,15 @@ class MediumTable:
 # phase functions
 # ---------------------------------------------------------------------------
 
+
+def _pick_channel(v3, ch):
+    """v3[..., ch] for ch in {0,1,2} WITHOUT take_along_axis: TPU
+    lowers the per-lane row gather at ~2 ms/Mlane (measured round 4 on
+    the Veach sphere merge); a 3-wide one-hot select is pure VPU."""
+    oh = jax.lax.broadcasted_iota(jnp.int32, v3.shape, v3.ndim - 1) \
+        == ch[..., None]
+    return jnp.sum(jnp.where(oh, v3, 0.0), axis=-1)
+
 def _around(axis, ct, phi):
     """Direction with polar angle acos(ct) around ``axis``."""
     st = m.safe_sqrt(1.0 - ct * ct)
@@ -360,7 +369,7 @@ def sample_interaction(media: MediumTable, med_id, u_channel, u_dist, maxt):
     sigma_s = st * alb
 
     ch = jnp.clip((u_channel * 3).astype(jnp.int32), 0, 2)
-    st_c = jnp.take_along_axis(st, ch[..., None], -1)[..., 0]
+    st_c = _pick_channel(st, ch)
     st_c = jnp.maximum(st_c, 1e-8)
     # DETACHED SAMPLING (prb.py style, essential for unbiased naive AD
     # too): the sampled distance and the sampling pdfs are evaluated at
@@ -457,7 +466,7 @@ def sample_interaction_dt(media: MediumTable, vols, med_id, o, d, maxt,
         reached = t_new >= maxt
         x = o + d * t_new[..., None]
         st, ss = eval_sigma(media, vols, med_id, x)
-        st_c = jnp.take_along_axis(st, ch[..., None], -1)[..., 0]
+        st_c = _pick_channel(st, ch)
         prob = st_c / jnp.maximum(mj, 1e-20)
         real = (u2 < prob) & ~reached
         null = ~real & ~reached
@@ -609,7 +618,7 @@ def ff_spectral_mis(media: MediumTable, vols, med_id, o, d, seg_len,
     n = seg_len.shape[0]
     maj = _spectral_majorant(media, med_id)             # (N, 3)
     ch = jnp.clip(channel, 0, 2)
-    maj_c = jnp.take_along_axis(maj, ch[..., None], -1)[..., 0]
+    maj_c = _pick_channel(maj, ch)
     in_medium = (med_id >= 0) & (maj_c > 0.0)
 
     init = dict(
@@ -638,7 +647,7 @@ def ff_spectral_mis(media: MediumTable, vols, med_id, o, d, seg_len,
 
         x = o + d * t_new[..., None]
         st, ss = eval_sigma(media, vols, med_id, x)
-        st_c = jnp.take_along_axis(st, ch[..., None], -1)[..., 0]
+        st_c = _pick_channel(st, ch)
         real = (u2 < st_c / jnp.maximum(maj_c, 1e-20)) & ~reached
         null = ~real & ~reached
         sn = jnp.maximum(maj - st, 0.0)
@@ -674,7 +683,7 @@ def shadow_spectral_mis(media: MediumTable, vols, med_id, o, d, dist,
     n = dist.shape[0]
     maj = _spectral_majorant(media, med_id)
     ch = jnp.clip(channel, 0, 2)
-    maj_c = jnp.take_along_axis(maj, ch[..., None], -1)[..., 0]
+    maj_c = _pick_channel(maj, ch)
     in_medium = (med_id >= 0) & (maj_c > 0.0)
 
     init = dict(
