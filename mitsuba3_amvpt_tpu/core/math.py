@@ -331,16 +331,19 @@ def transform_point_indexed(table, idx, p):
     """Per-lane point transform ``table[idx] @ p`` WITHOUT gathering
     per-lane (4, 4) matrices: a (N, 4, 4) gather materializes on TPU
     with T(4,128) tile padding — 32x memory (measured 8 GB at 4.2M
-    lanes in the AMVPT reprojection).  16 scalar (N,) gathers from the
-    (V,) matrix columns avoid the padded intermediate entirely.
+    lanes in the AMVPT reprojection).  The 16 matrix entries are
+    fetched with ONE take_rows (one-hot MXU matmul) on the flattened
+    (V, 16) table — the earlier per-column (N,) gathers still paid the
+    per-lane row-gather tax 16 times (~2 ms/Mlane each, round-4
+    measurement on the Veach sphere merge).
 
     ``table`` (V, 4, 4); ``idx`` (N,) int; ``p`` (N, 3).  Includes the
     perspective divide like transform_point."""
-    c = table.reshape(-1, 16)
+    a = take_rows(table.reshape(-1, 16), idx)          # (N, 16)
     x, y, z = p[..., 0], p[..., 1], p[..., 2]
 
     def g(j):
-        return c[:, j][idx]
+        return a[..., j]
 
     px = g(0) * x + g(1) * y + g(2) * z + g(3)
     py = g(4) * x + g(5) * y + g(6) * z + g(7)
@@ -350,13 +353,13 @@ def transform_point_indexed(table, idx, p):
 
 
 def transform_vector_indexed(table, idx, v):
-    """transform_vector with per-column gathers (see
+    """transform_vector via one take_rows fetch (see
     transform_point_indexed)."""
-    c = table.reshape(-1, 16)
+    a = take_rows(table.reshape(-1, 16), idx)          # (N, 16)
     x, y, z = v[..., 0], v[..., 1], v[..., 2]
 
     def g(j):
-        return c[:, j][idx]
+        return a[..., j]
 
     return jnp.stack([g(0) * x + g(1) * y + g(2) * z,
                       g(4) * x + g(5) * y + g(6) * z,

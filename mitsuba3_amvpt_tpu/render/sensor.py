@@ -70,24 +70,50 @@ class CameraBatch:
 
     # ------------------------------------------------------------------
 
-    def _dir_cam(self, view, uv):
+    def _view_params(self, view):
+        """ALL per-view scalar parameters in ONE one-hot fetch: each
+        separate ``table[view]`` lookup lowers to a per-lane row gather
+        (~2 ms/Mlane on TPU, round-4 measurement); sample_ray made 5 of
+        them and sample_surface 7 per call."""
+        f32 = jnp.float32
+        parts = [self.cam_type[:, None].astype(f32),        # 0
+                 self.tan_half_fov[:, None],                # 1
+                 self.lens_shift,                           # 2:4
+                 self.aperture_radius[:, None],             # 4
+                 self.focus_dist[:, None],                  # 5
+                 self.near_clip[:, None]]                   # 6
+        if self.aux is not None:
+            parts.append(self.aux)                          # 7:15
+        a = m.take_rows(jnp.concatenate(parts, axis=1), view)
+        out = dict(ct=a[..., 0].astype(jnp.int32), t=a[..., 1],
+                   sh=a[..., 2:4], ap=a[..., 4], fd=a[..., 5],
+                   nc=a[..., 6])
+        if self.aux is not None:
+            out["aux"] = a[..., 7:15]
+        return out
+
+    def _dir_cam_p(self, vp, uv):
         """Pinhole camera-space direction for film uv in [0,1]^2."""
-        t = self.tan_half_fov[view]
-        sh = self.lens_shift[view]
+        t = vp["t"]
+        sh = vp["sh"]
         x = (1.0 - 2.0 * (uv[..., 0] - sh[..., 0])) * t
         y = (1.0 - 2.0 * (uv[..., 1] - sh[..., 1])) * t / self.aspect
         return jnp.stack([x, y, jnp.ones_like(x)], -1)
+
+    def _dir_cam(self, view, uv):
+        return self._dir_cam_p(self._view_params(view), uv)
 
     def sample_ray(self, view, uv, u_lens):
         """(view (N,), uv (N,2) in per-view [0,1]^2, aperture sample) ->
         (Ray, weight (N,3)).  Matches perspective.cpp:205-241 /
         thinlens.cpp sample_ray; importance weight is 1."""
-        ct = self.cam_type[view]
-        d_pin = self._dir_cam(view, uv)
+        vp = self._view_params(view)
+        ct = vp["ct"]
+        d_pin = self._dir_cam_p(vp, uv)
 
         # perspective / thinlens share the pinhole direction
         p_lens2 = warp.square_to_uniform_disk_concentric(u_lens) \
-            * self.aperture_radius[view][..., None]
+            * vp["ap"][..., None]
         is_tl = ct == S_THINLENS
         o_cam = jnp.where(
             is_tl[..., None],
@@ -95,7 +121,7 @@ class CameraBatch:
                        jnp.zeros_like(p_lens2[..., 0])], -1),
             jnp.zeros(d_pin.shape))
         # focus-plane target for thinlens
-        fd = self.focus_dist[view]
+        fd = vp["fd"]
         target = d_pin * fd[..., None]  # d_pin.z == 1
         d_cam = jnp.where(is_tl[..., None], target - o_cam, d_pin)
 
@@ -127,7 +153,7 @@ class CameraBatch:
         # cross section perpendicular to the direction
         is_dist = ct == S_DISTANT
         if self.aux is not None:
-            aux = self.aux[view]
+            aux = vp["aux"]
             center = aux[..., 0:3]
             radius = aux[..., 3:4]
             is_pt = aux[..., 4:5] > 0.5
@@ -158,10 +184,11 @@ class CameraBatch:
           Jp       semi-Jacobian cos_surf * pdf / dist^2 (:383)
           visible  in-frustum & surface faces the camera
         """
-        ct = self.cam_type[view]
+        vp = self._view_params(view)
+        ct = vp["ct"]
         is_tl = ct == S_THINLENS
         p_lens2 = warp.square_to_uniform_disk_concentric(u_lens) \
-            * self.aperture_radius[view][..., None]
+            * vp["ap"][..., None]
         o_cam = jnp.where(
             is_tl[..., None],
             jnp.stack([p_lens2[..., 0], p_lens2[..., 1],
@@ -178,12 +205,12 @@ class CameraBatch:
                                           p_world)
         rel = p_cam - o_cam
         z = rel[..., 2]
-        behind = z <= self.near_clip[view]
-        t = self.tan_half_fov[view]
-        sh = self.lens_shift[view]
+        behind = z <= vp["nc"]
+        t = vp["t"]
+        sh = vp["sh"]
         # thinlens focuses through the lens point: uv determined by the
         # focus-plane intersection of the line o_cam -> p_cam
-        fd = jnp.where(is_tl, self.focus_dist[view], jnp.ones_like(z))
+        fd = jnp.where(is_tl, vp["fd"], jnp.ones_like(z))
         scale_f = jnp.where(is_tl, fd / jnp.maximum(z, 1e-8), 1.0 / jnp.maximum(z, 1e-8))
         fp = o_cam + rel * scale_f[..., None]   # point at z = fd (or 1)
         xz = fp[..., 0] / jnp.maximum(fd, 1e-8)
@@ -199,7 +226,7 @@ class CameraBatch:
         cos_cam = z / jnp.maximum(m.norm(rel), 1e-20)
         pdf_film = m.safe_div(normalization, jnp.maximum(cos_cam, 1e-8) ** 3)
         if True:  # thinlens aperture pdf factor (thinlens.cpp:372-416)
-            ap_area = jnp.pi * self.aperture_radius[view] ** 2
+            ap_area = jnp.pi * vp["ap"] ** 2
             pdf_film = jnp.where(is_tl & (ap_area > 0),
                                  pdf_film / jnp.maximum(ap_area, 1e-20), pdf_film)
         cos_surf = m.dot(d, n_world)
