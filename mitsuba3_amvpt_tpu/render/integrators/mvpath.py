@@ -158,23 +158,37 @@ def mvpath_pass(scene, acc, seed, spp_pass: int, max_depth: int = 6,
         acc = film_put(scene.film, acc, spos, val, weight=fw,
                        active=sactive)
 
-    # ---- adaptive refill: masked second wavefront (mvpath_multi.h:79-115)
+    # ---- adaptive refill, PACKED (mvpath_multi.h:79-115): the flagged
+    # pixels' n_adapt extra samples share ONE wavefront instead of
+    # n_adapt sequential full-wavefront walks (those doubled the whole
+    # frame at n_adapt = spp/4, measured round 4 — the reference only
+    # pays for flagged pixels because its wavefront compacts).  Slot j
+    # handles refill (j % n_adapt) of the (j // n_adapt)-th flagged
+    # lane; when more than n/n_adapt pixels are flagged the tail gets
+    # fewer refills — still unbiased, the film is a weighted average
+    # (value and weight channels both scale by w_adapt).
     if n_adapt > 0:
-        for a in range(n_adapt):
-            smp_a = sampler.fork(1000 + a)
-            u_pos_a, smp_a = smp_a.next_2d()
-            pos_a = jnp.stack([px, py], -1) + u_pos_a
-            view_a, uv_a = sensor.quilt_decode(
-                pos_a / jnp.array([W, H], jnp.float32))
-            u_lens_a, smp_a = smp_a.next_2d()
-            ray_a, rw_a = sensor.sample_ray(view_a, uv_a, u_lens_a)
-            L_a, _, aovs_a, smp_a = path_mod.sample(
-                scene, ray_a, smp_a, max_depth=max_depth, rr_depth=rr_depth,
-                active=adapt_mask)
-            nq = nq + aovs_a["n_queries"]
-            acc = film_put(scene.film, acc, pos_a, L_a * rw_a,
-                           weight=jnp.full((n,), w_adapt),
-                           active=adapt_mask)
+        order = jnp.argsort(~adapt_mask, stable=True)    # flagged first
+        n_flag = jnp.sum(adapt_mask)
+        slot = jnp.arange(n)
+        src = order[slot // n_adapt]
+        active_a = (slot // n_adapt) < n_flag
+        px_a = px[src]
+        py_a = py[src]
+        smp_a = sampler.fork(1000)
+        u_pos_a, smp_a = smp_a.next_2d()
+        pos_a = jnp.stack([px_a, py_a], -1) + u_pos_a
+        view_a, uv_a = sensor.quilt_decode(
+            pos_a / jnp.array([W, H], jnp.float32))
+        u_lens_a, smp_a = smp_a.next_2d()
+        ray_a, rw_a = sensor.sample_ray(view_a, uv_a, u_lens_a)
+        L_a, _, aovs_a, smp_a = path_mod.sample(
+            scene, ray_a, smp_a, max_depth=max_depth, rr_depth=rr_depth,
+            active=active_a)
+        nq = nq + aovs_a["n_queries"]
+        acc = film_put(scene.film, acc, pos_a, L_a * rw_a,
+                       weight=jnp.full((n,), w_adapt),
+                       active=active_a)
     return acc, nq
 
 
