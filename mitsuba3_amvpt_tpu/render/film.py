@@ -106,6 +106,11 @@ def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None,
     if cfg.ftype == F_BOX and cfg.radius <= 0.5 + 1e-6:
         xi = jnp.clip(pos[..., 0].astype(jnp.int32), 0, W - 1)
         yi = jnp.clip(pos[..., 1].astype(jnp.int32), 0, H - 1)
+        # the barrier is load-bearing: XLA:TPU fuses the operand
+        # computation INTO the scatter and serializes it — measured
+        # 176 ms vs 0.1 ms for a 4.2M-sample splat (round 4); with the
+        # operands materialized first the scatter takes its fast path
+        data, xi, yi = jax.lax.optimization_barrier((data, xi, yi))
         return acc.at[yi, xi].add(data, mode="drop")
 
     # general filter: static K x K tap footprint around the sample
@@ -131,8 +136,10 @@ def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None,
         inb = (px >= 0) & (px < W) & (py >= 0) & (py < H)
         px_c = jnp.clip(px, 0, W - 1)
         py_c = jnp.clip(py, 0, H - 1)
-        acc = acc.at[py_c, px_c].add(
-            jnp.where(inb[..., None], data * (w * inv)[..., None], 0.0))
+        tap = jnp.where(inb[..., None], data * (w * inv)[..., None], 0.0)
+        # see box branch: keep producers out of the scatter fusion
+        tap, px_c, py_c = jax.lax.optimization_barrier((tap, px_c, py_c))
+        acc = acc.at[py_c, px_c].add(tap)
     return acc
 
 
