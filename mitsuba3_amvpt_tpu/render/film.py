@@ -106,10 +106,16 @@ def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None,
     if cfg.ftype == F_BOX and cfg.radius <= 0.5 + 1e-6:
         xi = jnp.clip(pos[..., 0].astype(jnp.int32), 0, W - 1)
         yi = jnp.clip(pos[..., 1].astype(jnp.int32), 0, H - 1)
-        # the barrier is load-bearing: XLA:TPU fuses the operand
+        # INACTIVE lanes go out of bounds and are DROPPED, not clipped
+        # to pixel (0, 0): TPU scatter serializes colliding updates, so
+        # millions of dead lanes aimed at one pixel cost ~40 ns each
+        # (the AMVPT group splat's invalid reprojections — measured as
+        # ~165 ms of a 233 ms pass, round 4)
+        if active is not None:
+            yi = jnp.where(active, yi, H)
+        # the barrier is load-bearing too: XLA:TPU fuses the operand
         # computation INTO the scatter and serializes it — measured
-        # 176 ms vs 0.1 ms for a 4.2M-sample splat (round 4); with the
-        # operands materialized first the scatter takes its fast path
+        # 176 vs 0.1 ms for a 4.2M-sample splat in isolation
         data, xi, yi = jax.lax.optimization_barrier((data, xi, yi))
         return acc.at[yi, xi].add(data, mode="drop")
 
@@ -134,12 +140,15 @@ def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None,
         else jnp.ones_like(wsum)
     for (px, py, w) in taps:
         inb = (px >= 0) & (px < W) & (py >= 0) & (py < H)
+        if active is not None:
+            inb = inb & active
+        # out-of-footprint taps are DROPPED (see box branch: clipped
+        # colliding indices serialize the TPU scatter)
         px_c = jnp.clip(px, 0, W - 1)
-        py_c = jnp.clip(py, 0, H - 1)
-        tap = jnp.where(inb[..., None], data * (w * inv)[..., None], 0.0)
-        # see box branch: keep producers out of the scatter fusion
+        py_c = jnp.where(inb, jnp.clip(py, 0, H - 1), H)
+        tap = data * (w * inv)[..., None]
         tap, px_c, py_c = jax.lax.optimization_barrier((tap, px_c, py_c))
-        acc = acc.at[py_c, px_c].add(tap)
+        acc = acc.at[py_c, px_c].add(tap, mode="drop")
     return acc
 
 
