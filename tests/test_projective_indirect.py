@@ -118,8 +118,15 @@ def test_indirect_boundary_matches_fd():
         verts = scene.geom.verts + mask_j[:, None] \
             * jnp.array([1.0, 0.0, 0.0]) * dx
         sc = scene.replace(geom=scene.geom.replace(verts=verts))
+        # guiding="none" for the sppi term: the FD tolerances were
+        # calibrated on uniform sampling (round 3), and the grid
+        # pilot+main walks double this test's per-process compile
+        # count, which reliably trips the XLA:CPU compiler segfault
+        # (README known hazards).  test_indirect_guiding_cuts_variance
+        # covers the grid path.
         img = render_ad_projective(sc, spp=32, seed=seed,
-                                   max_depth=DEPTH, sppi=sppi)
+                                   max_depth=DEPTH, sppi=sppi,
+                                   guiding="none")
         return jnp.mean(img)
 
     # PRB + primary boundary alone: provably ~zero at this config
