@@ -165,7 +165,7 @@ def _mvpath_shard_body(scene, seed, spp_pass, S, n_vdev, n_rdev,
     u_lens, sampler = sampler.next_2d()
     ray, rweight = sensor.sample_ray(view, uv, u_lens)
 
-    splats, sampler, _, _ = _sample_multi(
+    splats, _, sampler, _, _ = _sample_multi(
         scene, ray, pos, view, sampler, S, max_depth, rr_depth, sa_mis,
         u_lens, fast_mis=fast_mis)
 

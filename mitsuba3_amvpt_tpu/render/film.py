@@ -106,18 +106,26 @@ def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None,
     if cfg.ftype == F_BOX and cfg.radius <= 0.5 + 1e-6:
         xi = jnp.clip(pos[..., 0].astype(jnp.int32), 0, W - 1)
         yi = jnp.clip(pos[..., 1].astype(jnp.int32), 0, H - 1)
-        # INACTIVE lanes go out of bounds and are DROPPED, not clipped
-        # to pixel (0, 0): TPU scatter serializes colliding updates, so
-        # millions of dead lanes aimed at one pixel cost ~40 ns each
-        # (the AMVPT group splat's invalid reprojections — measured as
-        # ~165 ms of a 233 ms pass, round 4)
+        # INACTIVE lanes go out of bounds and are DROPPED (mode="drop"),
+        # not clipped to pixel (0, 0)
         if active is not None:
             yi = jnp.where(active, yi, H)
-        # the barrier is load-bearing too: XLA:TPU fuses the operand
-        # computation INTO the scatter and serializes it — measured
-        # 176 vs 0.1 ms for a 4.2M-sample splat in isolation
-        data, xi, yi = jax.lax.optimization_barrier((data, xi, yi))
-        return acc.at[yi, xi].add(data, mode="drop")
+        # Scatter PER CHANNEL as 1D operations.  The obvious 2D scatter
+        # (acc.at[yi, xi].add(data) with (N, 4) updates) compiled to a
+        # kCustom scatter fusion with a {0,1:T(4,128)} -> {1,0:T(8,128)}
+        # layout-conversion transpose of the 64 MB updates fused INSIDE
+        # the scatter emitter — 165 ms of a 233 ms AMVPT pass (round-5
+        # HLO forensics, scripts/prof_mvpath_hlo.py; the scatter itself
+        # is ~0.1 ms in isolation).  The (N, C) producer's natural
+        # layout is {0,1} (columns contiguous), so per-channel columns
+        # feed 1D scatters with no relayout at all.
+        flat = yi * W + xi          # inactive lanes: >= H*W, dropped
+        accf = acc.reshape(H * W, acc.shape[-1])
+        cols = []
+        for ch in range(data.shape[-1]):
+            upd, fl = jax.lax.optimization_barrier((data[:, ch], flat))
+            cols.append(accf[:, ch].at[fl].add(upd, mode="drop"))
+        return jnp.stack(cols, -1).reshape(H, W, acc.shape[-1])
 
     # general filter: static K x K tap footprint around the sample
     base_x = jnp.floor(pos[..., 0] - 0.5).astype(jnp.int32)
@@ -150,6 +158,61 @@ def film_put(cfg: FilmConfig, acc, pos, values, weight=None, active=None,
         tap, px_c, py_c = jax.lax.optimization_barrier((tap, px_c, py_c))
         acc = acc.at[py_c, px_c].add(tap, mode="drop")
     return acc
+
+
+def splat_tile_matmul(vh: int, vw: int, yi, xi, data, chunk: int = 32768):
+    """Dense box-filter splat of scattered samples into a (vh, vw, CH)
+    tile via MXU histogram matmuls — the TPU answer to ImageBlock's
+    atomic scatter_reduce (imageblock.cpp:126).
+
+    XLA:TPU lowers scatter-add to a serialized per-update loop
+    (~7 ns/update measured on v5e — 4.2M-update AMVPT group splats cost
+    ~30 ms *per channel*, round-5 HLO forensics).  The histogram
+    identity  tile[r, c, ch] = sum_i 1[y_i==r] * 1[x_i==c] * d[i, ch]
+    is two chained one-hot contractions: A = onehot(y) (vh, n) and
+    B = onehot(x) * data (n, vw*CH), so tile = A @ B rides the MXU
+    instead.  One-hot entries are exact in bf16; the data factor is
+    split into bf16 hi + lo components (two DEFAULT-precision matmuls,
+    relative error ~2^-16) so the result matches the f32 scatter path
+    to ~1e-5 — compared against it in tests.
+
+    Out-of-range yi/xi (inactive lanes) produce all-zero one-hot rows
+    and are dropped naturally, matching film_put's mode="drop".
+
+    yi, xi: (n,) int32; data: (n, CH) f32.  Returns (vh, vw, CH) f32.
+    """
+    n, CH = data.shape
+    pad = (-n) % chunk
+    if pad:
+        yi = jnp.concatenate([yi, jnp.full((pad,), vh, jnp.int32)])
+        xi = jnp.concatenate([xi, jnp.zeros((pad,), jnp.int32)])
+        data = jnp.concatenate([data, jnp.zeros((pad, CH), data.dtype)])
+        n += pad
+    nc = n // chunk
+
+    hi = data.astype(jnp.bfloat16)
+    lo = (data - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def body(acc, args):
+        yc, xc, hc, lc = args
+        oy = (yc[None, :] == jnp.arange(vh)[:, None])            # (vh, c)
+        ox = (xc[:, None] == jnp.arange(vw)[None, :])            # (c, vw)
+        A = oy.astype(jnp.bfloat16)
+        oxb = ox.astype(jnp.bfloat16)
+        Bh = (oxb[:, :, None] * hc[:, None, :]).reshape(chunk, vw * CH)
+        Bl = (oxb[:, :, None] * lc[:, None, :]).reshape(chunk, vw * CH)
+        acc = acc + jax.lax.dot(A, Bh,
+                                preferred_element_type=jnp.float32)
+        acc = acc + jax.lax.dot(A, Bl,
+                                preferred_element_type=jnp.float32)
+        return acc, None
+
+    acc0 = jnp.zeros((vh, vw * CH), jnp.float32)
+    acc, _ = jax.lax.scan(
+        body, acc0,
+        (yi.reshape(nc, chunk), xi.reshape(nc, chunk),
+         hi.reshape(nc, chunk, CH), lo.reshape(nc, chunk, CH)))
+    return acc.reshape(vh, vw, CH)
 
 
 def film_put_coalesced(cfg: FilmConfig, acc, jitter, values, spp: int,
