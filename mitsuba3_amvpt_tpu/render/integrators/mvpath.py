@@ -120,17 +120,24 @@ def _splat_group_dense(sensor, acc, pos, p_view, cams, s_uv,
         data = data.at[0].multiply(adapt_scale[..., None])
     CH = data.shape[-1]
 
+    # per-target-view reorganization (the rotation map is bijective
+    # within a group), batched over views for ONE kernel launch
+    dks, xks, yks = [], [], []
     for k in range(N):
         g = k // S
         sel_s = (k - p_local) % S                                # (n,)
         m = ((jnp.arange(S)[:, None] == sel_s[None, :])
              & (group_base == g * S)[None, :] & act_all)         # (S, n)
-        dk = jnp.sum(jnp.where(m[..., None], data, 0.0), 0)      # (n, CH)
-        xk = jnp.sum(jnp.where(m, xi, 0), 0)
-        yk = jnp.where(jnp.any(m, 0), jnp.sum(jnp.where(m, yi, 0), 0), vh)
-        tile = splat_tile_matmul(vh, vw, yk, xk, dk)
+        dks.append(jnp.sum(jnp.where(m[..., None], data, 0.0), 0))
+        xks.append(jnp.sum(jnp.where(m, xi, 0), 0))
+        yks.append(jnp.where(jnp.any(m, 0),
+                             jnp.sum(jnp.where(m, yi, 0), 0), vh))
+    from ...ops.splat import splat_tiles_pallas
+    tiles_all = splat_tiles_pallas(vh, vw, jnp.stack(yks), jnp.stack(xks),
+                                   jnp.stack(dks))
+    for k in range(N):
         ox, oy = _tile_origin_static(sensor, k)
-        acc = acc.at[oy:oy + vh, ox:ox + vw, :].add(tile)
+        acc = acc.at[oy:oy + vh, ox:ox + vw, :].add(tiles_all[k])
     return acc
 
 
