@@ -524,8 +524,14 @@ class Scene:
         emitters, src/emitters/area.cpp: one-sided, front face only)."""
         em = self.emitters
         e = jnp.maximum(si.emitter_index, 0)
-        rad = em.radiance[e]
-        tex = em.tex[e]
+        # ONE one-hot fetch for [radiance, tex]: per-lane row gathers
+        # cost ~7.5 ms/Mlane·bounce on TPU (round-5 veach attribution);
+        # tex ids are small ints, exact through f32
+        pack = jnp.concatenate(
+            [em.radiance, em.tex[:, None].astype(jnp.float32)], -1)
+        a = m.take_rows(pack, e)
+        rad = a[:, :3]
+        tex = a[:, 3].astype(jnp.int32)
         from .texture import eval_spectrum_or_texture
         rad = eval_spectrum_or_texture(rad, tex, self.textures, si.uv)
         front = m.cos_theta(si.wi) > 0.0
@@ -569,17 +575,32 @@ class Scene:
         # never emitters — clamp and zero them
         in_tbl = (si.prim_index >= 0) & (si.prim_index < g.n_prims)
         prim = jnp.clip(si.prim_index, 0, max(g.n_prims - 1, 0))
-        pdf_area = jnp.where(in_tbl, em.prim_pdf_area[prim], 0.0)
+        # ONE one-hot fetch for [pdf_area, sphere center, sphere radius]
+        # (sphere rows live at F..F+S-1 of the prim table): the three
+        # separate per-lane row gathers here were the top cost of the
+        # veach bounce body (round-5 attribution, ~20 ms/Mlane·bounce)
+        S = g.sph_center.shape[0]
+        P = em.prim_pdf_area.shape[0]
+        pack = em.prim_pdf_area[:, None]
+        if S > 0 and F + S <= P:
+            cen = jnp.zeros((P, 3)).at[F:F + S].set(g.sph_center)
+            rad = jnp.zeros((P, 1)).at[F:F + S].set(g.sph_radius[:, None])
+            pack = jnp.concatenate([pack, cen, rad], -1)
+        a = m.take_rows(pack, prim)
+        pdf_area = jnp.where(in_tbl, a[:, 0], 0.0)
         delta = si.p - prev_si_p
         dist2 = m.squared_norm(delta)
         cos = jnp.abs(m.cos_theta(si.wi))
         pdf = m.safe_div(pdf_area * dist2, cos)
 
-        S = g.sph_center.shape[0]
         if S > 0:
-            sph = jnp.clip(prim - F, 0, S - 1)
-            c = g.sph_center[sph]
-            r = g.sph_radius[sph]
+            if F + S <= P:
+                c = a[:, 1:4]
+                r = a[:, 4]
+            else:
+                sph = jnp.clip(prim - F, 0, S - 1)
+                c = g.sph_center[sph]
+                r = g.sph_radius[sph]
             dc = m.norm(c - prev_si_p)
             outside = dc > r * 1.0001
             sin2 = jnp.clip((r / jnp.maximum(dc, 1e-8)) ** 2, 0.0, 1.0)
