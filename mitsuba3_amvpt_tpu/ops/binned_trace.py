@@ -366,7 +366,7 @@ CHUNK = 16          # rays per sweep sub-block (MT stays vreg-resident)
 NSTEP = GROUP // CHUNK
 
 
-def _run_sweep_kernel(runs_ref, rays_ref, tris_hbm,
+def _run_sweep_kernel(runs_ref, bnds_ref, rays_ref, tris_hbm,
                       t_ref, id_ref,
                       scratch, rt, dma_sem, *, any_hit: bool):
     """One invocation covers NG_SW groups of GROUP lanes (block shapes
@@ -398,12 +398,17 @@ def _run_sweep_kernel(runs_ref, rays_ref, tris_hbm,
     transpose.  Only (t, id) are tracked; the driver reconstructs u,v
     once per lane from the winning triangle after tracing completes.
 
-    All lanes of a group test every run tile (dense VPU cost equals a
-    masked sweep, and Mosaic cannot reshape i1 vectors): lanes outside
-    the run pick up bonus hits — genuine intersections that only
-    tighten best-t earlier."""
+    CHUNK-BOUNDED runs (round 5): a run only sweeps the CHUNK-lane
+    sub-blocks its sorted slot span [start, end) overlaps — ``bnds_ref``
+    carries packed (c0*16 + c1) chunk bounds per run.  The round-4
+    kernel swept all GROUP lanes for every run; with ~12k runs/round of
+    mean length well under GROUP, that dense sweep was ~2x the trace's
+    whole compute (device-op profile, scripts/prof_binned_attr.py).
+    Lanes inside a swept chunk but outside the run still pick up bonus
+    hits — genuine intersections that only tighten best-t earlier."""
     B = GROUP
     cols = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, TILE), 1)
+    ncol = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, NSTEP), 1)
     init_T = jnp.full((CHUNK, NSTEP), _BIG)
     init_I = jnp.full((CHUNK, NSTEP), -1, jnp.int32)
 
@@ -418,24 +423,25 @@ def _run_sweep_kernel(runs_ref, rays_ref, tris_hbm,
             scratch.at[slot], dma_sem.at[slot]).wait()
 
     def group(g):
-        def sweep(slot, tid, T, I):
+        def sweep(slot, tid, c0, c1, T, I):
             """Best-so-far (T, I) live in the while-loop CARRY, not in
             the output refs: per-chunk (CHUNK, 1) column read/writes on
             a lane-width-NSTEP ref were sliver accesses that dominated
-            the kernel; as carried values they are register slices."""
+            the kernel; as carried values they are register slices.
+            Only chunks [c0, c1) — the run's slot span — are swept."""
             def tx(c):
                 return scratch[slot, c, :].reshape(1, TILE)
 
             p0x, p0y, p0z = tx(0), tx(1), tx(2)
             e1x, e1y, e1z = tx(3), tx(4), tx(5)
             e2x, e2y, e2z = tx(6), tx(7), tx(8)
-            cand_t, cand_k = [], []
-            for rs in range(NSTEP):
-                R = rt[pl.ds(rs * CHUNK, CHUNK), :]
+
+            def chunk_body(rs, carry):
+                T, I = carry
+                R = rt[rs]                           # (CHUNK, 8)
                 ox, oy, oz = R[:, 0:1], R[:, 1:2], R[:, 2:3]
                 dx, dy, dz = R[:, 3:4], R[:, 4:5], R[:, 5:6]
                 lim = R[:, 6:7]
-                bt = T[:, rs:rs + 1]                 # (CHUNK, 1)
 
                 pvx = dy * e2z - dz * e2y
                 pvy = dz * e2x - dx * e2z
@@ -452,25 +458,24 @@ def _run_sweep_kernel(runs_ref, rays_ref, tris_hbm,
                 v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
                 t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
                 hit = ((jnp.abs(det) > 1e-12) & (u >= 0.0) & (v >= 0.0)
-                       & (u + v <= 1.0) & (t > 0.0) & (t < lim)
-                       & (t < bt))
+                       & (u + v <= 1.0) & (t > 0.0) & (t < lim))
                 t = jnp.where(hit, t, _BIG)
-                tk = jnp.min(t, axis=1, keepdims=True)
+                tk = jnp.min(t, axis=1, keepdims=True)   # (CHUNK, 1)
                 k = jnp.min(jnp.where(t <= tk, cols, jnp.int32(TILE)),
                             axis=1, keepdims=True)
-                cand_t.append(tk)
-                cand_k.append(k)
-            ct = jnp.concatenate(cand_t, axis=1)     # (CHUNK, NSTEP)
-            ck = jnp.concatenate(cand_k, axis=1)
-            upd = ct < T
-            return (jnp.where(upd, ct, T),
-                    jnp.where(upd, tid * TILE + ck, I))
+                at = ncol == rs                       # (CHUNK, NSTEP)
+                upd = at & (tk < T)
+                return (jnp.where(upd, tk, T),
+                        jnp.where(upd, tid * TILE + k, I))
+
+            return jax.lax.fori_loop(c0, c1, chunk_body, (T, I))
 
         @pl.when(runs_ref[g, 0] != SENTINEL)
         def _():
-            # the group's rays, re-laid out (GROUP, 8) once
-            rt[:, :] = jnp.transpose(
-                rays_ref[:, pl.ds(g * B, B)], (1, 0))
+            # the group's rays, re-laid out (NSTEP, CHUNK, 8) once
+            rt[:, :, :] = jnp.transpose(
+                rays_ref[:, pl.ds(g * B, B)], (1, 0)).reshape(
+                    NSTEP, CHUNK, 8)
             # warmup: start the first NBUF tile DMAs
             for j in range(NBUF):
                 tj = runs_ref[g, j]
@@ -482,9 +487,10 @@ def _run_sweep_kernel(runs_ref, rays_ref, tris_hbm,
             def body(carry):
                 r, T, I = carry
                 tid = runs_ref[g, r]
+                b = bnds_ref[g, r]
                 slot = jax.lax.rem(r, NBUF)
                 wait_dma(slot, tid)
-                T, I = sweep(slot, tid, T, I)
+                T, I = sweep(slot, tid, b // 16, b % 16, T, I)
                 t_n = runs_ref[g, r + NBUF]
 
                 @pl.when(t_n != SENTINEL)
@@ -524,8 +530,21 @@ def _run_sweep(rays8, tids, tri_soa, any_hit: bool):
     gkey = tids.reshape(ngroups, GROUP)
     is_start = jnp.concatenate(
         [jnp.ones((ngroups, 1), bool), gkey[:, 1:] != gkey[:, :-1]], 1)
-    runs = jnp.sort(jnp.where(is_start, gkey, SENTINEL), axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (ngroups, GROUP), 1)
+    mkey = jnp.where(is_start, gkey, SENTINEL)
+    mpos = jnp.where(is_start, pos, GROUP)
+    # lexicographic (key, pos) sort: real run starts left-aligned
+    # ascending; a group's sentinel-key run (if any) sorts before the
+    # non-start pads, so ends[j] = starts[j+1] is exact for real runs
+    runs, starts = jax.lax.sort([mkey, mpos], dimension=1, num_keys=2)
+    ends = jnp.concatenate(
+        [starts[:, 1:], jnp.full((ngroups, 1), GROUP, jnp.int32)], 1)
+    ends = jnp.minimum(ends, GROUP)
+    # packed chunk bounds: c0*16 + c1, chunks [c0, c1) cover the run
+    bnds = (starts // CHUNK) * 16 + (jnp.maximum(ends, starts + 1)
+                                     + CHUNK - 1) // CHUNK
     runs = jnp.pad(runs, ((0, 0), (0, NBUF)), constant_values=SENTINEL)
+    bnds = jnp.pad(bnds, ((0, 0), (0, NBUF)))
 
     out_spec = pl.BlockSpec((NG_SW, CHUNK, NSTEP), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -539,6 +558,8 @@ def _run_sweep(rays8, tids, tri_soa, any_hit: bool):
         in_specs=[
             pl.BlockSpec((NG_SW, GROUP + NBUF), lambda i: (i, 0),
                          memory_space=pltpu.SMEM),
+            pl.BlockSpec((NG_SW, GROUP + NBUF), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((8, blk), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -550,11 +571,11 @@ def _run_sweep(rays8, tids, tri_soa, any_hit: bool):
         ],
         scratch_shapes=[
             pltpu.VMEM((NBUF, 16, TILE), jnp.float32),
-            pltpu.VMEM((GROUP, 8), jnp.float32),
+            pltpu.VMEM((NSTEP, CHUNK, 8), jnp.float32),
             pltpu.SemaphoreType.DMA((NBUF,)),
         ],
         interpret=interpret,
-    )(runs, rays8, tri_soa)
+    )(runs, bnds, rays8, tri_soa)
     # slot l of group g sits at [g, l % CHUNK, l // CHUNK]
     t = jnp.transpose(t, (0, 2, 1)).reshape(n)
     pid = jnp.transpose(pid, (0, 2, 1)).reshape(n)
