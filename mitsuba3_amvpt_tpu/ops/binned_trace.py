@@ -71,7 +71,13 @@ SENTINEL = 0x7FFFFFFF   # i32 key for "no tile" (sorts after all real ids;
 
 # state-channel map: everything f32 (integer cursors are small exact
 # floats); one (NB, NCH, 128) array keeps the select kernel to a single
-# blocked input/output
+# blocked input/output.  ls_t/ls_i is the lexicographic supertile
+# cursor (== the current supertile's (t_near, id)); tnb caches the
+# eager-termination bound.  (A round-5 experiment replaced the
+# per-round slab + on-demand pick_super with a per-lane cached
+# supertile frontier; it LOST — rays on the 1M bench scene walk 6-10
+# overlapping supertile AABBs, so the cache stalled ~80% of round-2
+# lanes and forced rebuild slabs almost every round.)
 _CH = dict(o=0, d=3, inv=6, limit=9, maxt=10, cur=11, ls_t=12, ls_i=13,
            lt_t=14, lt_i=15, done=16, progress=17)
 
@@ -161,8 +167,17 @@ def pack_binned(p0, p1, p2, tile_starts=None):
     sup_ab = jnp.concatenate([slo, shi, jnp.zeros((ns, 2))], axis=1)
     sup_ab = jnp.pad(sup_ab, ((0, nsp - ns), (0, 0))).astype(jnp.float32)
 
-    # tile_c: component-major rows, supertile lanes
-    comp = jnp.concatenate([tlo, thi], axis=1)        # (n_tiles_p, 6)
+    # tile_c: component-major rows, supertile lanes.  The bounds are
+    # DILATED by 2^-7 relative + 1e-6 absolute so the select kernel can
+    # fetch them with a DEFAULT-precision (single-pass bf16) one-hot
+    # matmul: bf16 input rounding perturbs values by <= 2^-9 relative,
+    # so the rounded dilated box still strictly contains the exact box
+    # — false tile ADMISSIONS only (a few % extra visits), never the
+    # false misses that forced Precision.HIGHEST (6 bf16 passes, ~60%
+    # of steady-state select cost) through round 4.
+    dlo = jnp.abs(tlo) * (2.0 ** -7) + 1e-6
+    dhi = jnp.abs(thi) * (2.0 ** -7) + 1e-6
+    comp = jnp.concatenate([tlo - dlo, thi + dhi], axis=1)
     comp = comp.reshape(ns, SUPER, 6)
     tile_c = jnp.transpose(comp, (2, 1, 0)).reshape(6 * SUPER, ns)
     tile_c = jnp.pad(tile_c, ((0, 0), (0, nsp - ns))).astype(jnp.float32)
@@ -174,17 +189,22 @@ def pack_binned(p0, p1, p2, tile_starts=None):
 # Pallas SELECT kernel: per-lane next-K-tiles in front-to-back order
 # ---------------------------------------------------------------------------
 
-def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
+def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref,
+                   tnext_ref, S_out_ref, *,
                    ns_real: int, n_tiles_real: int, k_emit: int):
     """One block = RL rows of 128 lanes.  Per 128-lane group:
 
     * slab-test the NSP supertile AABBs once ((NSP, 128), VMEM),
     * fetch the 32 tile AABBs of each lane's current supertile with a
-      single one-hot (192, NSP) @ (NSP, 128) matmul,
+      single one-hot (192, NSP) @ (NSP, 128) matmul (default precision
+      over pre-dilated boxes, see pack_binned),
     * emit up to k_emit tiles per lane in (t_near, id) lex order; a
       lane that exhausts its supertile advances its super cursor (using
-      the cached slab) and pauses until the next round (its remaining
-      slots emit the sentinel).
+      the cached slab) and pauses until the next refetch slot,
+    * emit ``t_next``: a lower bound on every still-unvisited
+      candidate's t_near (remaining tiles of the current fetch + the
+      exact next supertile after the lex cursor), letting the driver
+      terminate lanes eagerly instead of one round late.
     """
     nsp = sup_ref.shape[0]
     ids_s = jax.lax.broadcasted_iota(
@@ -200,12 +220,12 @@ def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
         ox, oy, oz = ch(0), ch(1), ch(2)
         dx, dy, dz = ch(3), ch(4), ch(5)
         ix, iy, iz = ch(6), ch(7), ch(8)
-        limit = ch(9)
-        maxt = ch(10)
-        cur = ch(11)
-        ls_t, ls_i = ch(12), ch(13)
-        lt_t, lt_i = ch(14), ch(15)
-        done = ch(16) > 0.5
+        limit = ch(_CH["limit"])
+        maxt = ch(_CH["maxt"])
+        cur = ch(_CH["cur"])
+        ls_t, ls_i = ch(_CH["ls_t"]), ch(_CH["ls_i"])
+        lt_t, lt_i = ch(_CH["lt_t"]), ch(_CH["lt_i"])
+        done = ch(_CH["done"]) > 0.5
 
         # ---- supertile slab, once per round: (NSP, 128)
         def axis_ts(ref, lo_col, hi_col, oc, ic):
@@ -241,15 +261,16 @@ def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
         progress = ok0
 
         # ---- one-hot tile-row fetch: (192, NSP) @ (NSP, 128).
-        # Precision.HIGHEST is load-bearing: the MXU's default bf16
-        # input rounding shrinks/shifts the fetched tile AABBs, and a
-        # ray grazing a tile boundary then skips the tile — measured as
-        # ~1e-4 false misses on the 120k-tri validation scene.
+        # Default (single-pass bf16) precision is safe because the
+        # packed tile AABBs are pre-dilated past the bf16 input
+        # rounding radius (see pack_binned) — the rounded box strictly
+        # contains the exact one, so grazing rays can only gain tiles.
+        # (Round 4 ran Precision.HIGHEST against UNdilated boxes —
+        # ~1e-4 false misses otherwise — at 6x the MXU cost.)
         def fetch_rows(cur):
             oh = (ids_s == jnp.maximum(cur, 0.0)).astype(jnp.float32)
             rows = jax.lax.dot_general(
                 tile_ref[:, :], oh, (((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)   # (192, 128)
 
             def axis_tt(c, oc, ic):
@@ -316,6 +337,26 @@ def _select_kernel(S_ref, sup_ref, tile_ref, keys_ref, S_out_ref, *,
                 paused = jnp.zeros_like(done)
 
         keys_ref[rl, :, :] = jnp.concatenate(key_list, axis=0)
+
+        # ---- eager-termination bound: a LOWER bound on the t_near of
+        # every candidate this lane has NOT yet emitted.  The driver
+        # marks a lane done as soon as best_t <= t_next, instead of
+        # spending a full-wavefront extra round just discovering
+        # doneness.  Sources (each a true lower bound): remaining
+        # candidates in the current tile fetch (exact tns) — or the
+        # current supertile's tn when the fetch is stale (paused); and
+        # the exact NEXT supertile past the lex cursor (one extra
+        # pick_super; supers beyond it are lex-later, so farther).
+        cand_r = (hit_t
+                  & ((tn_t > lt_t) | ((tn_t == lt_t) & (ids_t > lt_i))))
+        tta = jnp.min(jnp.where(cand_r, tn_t, _BIG), axis=0,
+                      keepdims=True)
+        tta = jnp.where(paused, ls_t, tta)
+        st3, _, ok3 = pick_super(ls_t, ls_i)
+        beyond = jnp.where(ok3, st3, _BIG)
+        t_next = jnp.minimum(tta, beyond)
+        tnext_ref[rl, 0:1, :] = t_next
+
         S_out_ref[rl, :, :] = jnp.concatenate([
             ox, oy, oz, dx, dy, dz, ix, iy, iz, limit, maxt, cur,
             ls_t, ls_i, lt_t, lt_i,
@@ -331,7 +372,7 @@ def _select(S, sup_ab, tile_c, ns_real: int, n_tiles_real: int):
                  or bool(os.environ.get("MT_INTERPRET_SELECT")))
     kernel = functools.partial(_select_kernel, ns_real=ns_real,
                                n_tiles_real=n_tiles_real, k_emit=K_EMIT)
-    keys, S_new = pl.pallas_call(
+    keys, tnext, S_new = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
@@ -343,16 +384,19 @@ def _select(S, sup_ab, tile_c, ns_real: int, n_tiles_real: int):
         out_specs=[
             pl.BlockSpec((RL, K_EMIT, GROUP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((RL, 1, GROUP), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((RL, NCH, GROUP), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nb, K_EMIT, GROUP), jnp.int32),
+            jax.ShapeDtypeStruct((nb, 1, GROUP), jnp.float32),
             jax.ShapeDtypeStruct((nb, NCH, GROUP), jnp.float32),
         ],
         interpret=interpret,
     )(S, sup_ab, tile_c)
-    return keys, S_new
+    return keys, tnext, S_new
 
 
 # ---------------------------------------------------------------------------
@@ -595,7 +639,7 @@ def _round_body(carry, soa, sup_ab, tile_c, ns_real, n_tiles_real,
                 any_hit):
     S, bt, bid, orig, rounds = carry
     npad = S.shape[0] * GROUP
-    keys, S = _select(S, sup_ab, tile_c, ns_real, n_tiles_real)
+    keys, tnext, S = _select(S, sup_ab, tile_c, ns_real, n_tiles_real)
 
     # sort K*N (key, slot) pairs — k-major slots so slot % N = lane
     key_flat = jnp.moveaxis(keys, 1, 0).reshape(K_EMIT * npad)
@@ -619,10 +663,19 @@ def _round_body(carry, soa, sup_ab, tile_c, ns_real, n_tiles_real,
     oh = jax.lax.broadcasted_iota(jnp.int32, id_o.shape, 0) == kbest[None]
     bid = jnp.where(upd, jnp.sum(jnp.where(oh, id_o, 0), axis=0), bid)
 
-    # write back limit (+ any-hit early-done) into the state
+    # write back limit (+ eager termination) into the state: a lane is
+    # done as soon as its best hit is nearer than t_next, the select
+    # kernel's lower bound on every still-unvisited candidate — without
+    # this the done flag lagged a round and round 2 always ran at full
+    # wavefront size
     limit = jnp.minimum(
         S[:, _CH["maxt"], :].reshape(npad), bt).reshape(-1, GROUP)
     S = S.at[:, _CH["limit"], :].set(limit)
+    tn_flat = tnext.reshape(npad)
+    fin = ((bt <= tn_flat) | (tn_flat >= _BIG * 0.5)
+           | (tn_flat > S[:, _CH["maxt"], :].reshape(npad)))
+    S = S.at[:, _CH["done"], :].max(
+        fin.astype(jnp.float32).reshape(-1, GROUP))
     if any_hit:
         hitf = (bid >= 0).astype(jnp.float32).reshape(-1, GROUP)
         S = S.at[:, _CH["done"], :].max(hitf)

@@ -90,7 +90,7 @@ def main():
     S = jax.device_put(S)
 
     sel = jax.jit(lambda S: bt._select(S, sup_ab, tile_c, ns, nt))
-    keys, S1 = timeit("select", sel, S)
+    keys, _tn, S1 = timeit("select", sel, S)
 
     K = bt.K_EMIT
     kf = jnp.moveaxis(keys, 1, 0).reshape(K * npad)
