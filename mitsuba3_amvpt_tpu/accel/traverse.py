@@ -326,6 +326,38 @@ def _ray_sort_keys(o, d, lo, hi):
     return (octant << 29) | (coarse << 20) | (dirb << 12) | fine
 
 
+def uses_binned(geom) -> bool:
+    """Whether intersect_tiled routes this geometry through the binned
+    tracer (size threshold or MT_FORCE_BINNED, see below)."""
+    import os
+    F = geom.faces.shape[0]
+    return (geom.tile_starts is not None
+            and (F * 36 > (6 << 20)
+                 or os.environ.get("MT_FORCE_BINNED") == "1")
+            and os.environ.get("MT_LARGE_TRACER", "binned") == "binned")
+
+
+def build_binned_cache(geom):
+    """Precompute the binned-tracer tables onto the geometry pytree.
+
+    pack_binned gathers the whole permuted triangle soup; leaving it
+    inline in the trace call re-ran those gathers EVERY bounce (XLA
+    does not hoist them out of the sampling while-loop) — ~350 ms per
+    1M-tri bigscene frame.  Called once at scene build (dict_loader)
+    and again by ad.update_scene when vertices change."""
+    if not uses_binned(geom):
+        return geom
+    from ..ops.binned_trace import pack_binned
+    order = geom.tri_order
+    p0 = geom.tri_p0[order]
+    p1 = geom.tri_p1[order]
+    p2 = geom.tri_p2[order]
+    soa, sup_ab, tile_c, ns, nt, pmap = pack_binned(
+        p0, p1, p2, tile_starts=geom.tile_starts)
+    return geom.replace(bt_soa=soa, bt_sup=sup_ab, bt_tilec=tile_c,
+                        bt_pmap=pmap, bt_ns=ns, bt_nt=nt)
+
+
 def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
                     sort_rays: bool = True):
     """Large-scene tiled-cull sweep (ops/isect.py): triangles permuted
@@ -335,16 +367,13 @@ def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
 
     from ..ops.isect import pack_tiles, ray_triangles_tiled
     order = geom.tri_order
-    p0 = geom.tri_p0[order]
-    p1 = geom.tri_p1[order]
-    p2 = geom.tri_p2[order]
     # VMEM-resident soup up to ~6 MB; beyond that, the sort-based
     # binned tracer (ops/binned_trace.py) — per-ray front-to-back tile
     # traversal whose cost tracks true (ray, tile) incidence.  The
     # cull-then-pop streamer (ops/stream_trace.py) remains available
     # via MT_LARGE_TRACER=stream (its block-union work model loses on
     # incoherent bounce wavefronts; measured in GAPS.md round-2 delta).
-    F = p0.shape[0]
+    F = geom.faces.shape[0]
     # MT_FORCE_BINNED=1 routes even small scenes through the binned
     # tracer (CPU integration tests of the spectral x views x binned
     # triple; interpret mode is slow, so tests keep scenes tiny)
@@ -354,14 +383,28 @@ def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
             from ..ops.stream_trace import (pack_tri_soa16,
                                             ray_triangles_streamed,
                                             tile_bounds16)
+            p0 = geom.tri_p0[order]
+            p1 = geom.tri_p1[order]
+            p2 = geom.tri_p2[order]
             soa = pack_tri_soa16(p0, p1, p2)
             tb = tile_bounds16(p0, p1, p2)
             trace = ray_triangles_streamed
         else:
             from ..ops.binned_trace import (pack_binned,
                                             ray_triangles_binned)
-            soa_b, sup_ab, tile_c, ns, nt, pmap = pack_binned(
-                p0, p1, p2, tile_starts=geom.tile_starts)
+            if geom.bt_soa is not None:
+                # tables precomputed once at scene build
+                # (build_binned_cache) — repacking here re-gathered the
+                # full soup per bounce
+                soa_b, sup_ab, tile_c = (geom.bt_soa, geom.bt_sup,
+                                         geom.bt_tilec)
+                ns, nt, pmap = geom.bt_ns, geom.bt_nt, geom.bt_pmap
+            else:
+                p0 = geom.tri_p0[order]
+                p1 = geom.tri_p1[order]
+                p2 = geom.tri_p2[order]
+                soa_b, sup_ab, tile_c, ns, nt, pmap = pack_binned(
+                    p0, p1, p2, tile_starts=geom.tile_starts)
 
             def trace(o, d, maxt, soa, tb, any_hit=False):
                 return ray_triangles_binned(o, d, maxt, soa_b, sup_ab,
@@ -374,6 +417,9 @@ def intersect_tiled(geom, o, d, maxt, any_hit: bool = False,
             # the global per-round tile-key sort
             sort_rays = False
     else:
+        p0 = geom.tri_p0[order]
+        p1 = geom.tri_p1[order]
+        p2 = geom.tri_p2[order]
         soa, tb = pack_tiles(p0, p1, p2)
         trace = ray_triangles_tiled
 

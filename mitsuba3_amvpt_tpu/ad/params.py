@@ -61,4 +61,10 @@ def update_scene(scene, params: dict):
         for holder, attr in reversed(chain):
             new_obj = holder.replace(**{attr: new_obj})
         scene = new_obj
+    if "geom.verts" in params and scene.geom.bt_soa is not None:
+        # vertex updates invalidate the cached binned-tracer tables
+        # (accel/traverse.build_binned_cache); repack once per update
+        # instead of once per bounce
+        from ..accel.traverse import build_binned_cache
+        scene = scene.replace(geom=build_binned_cache(scene.geom))
     return scene

@@ -1159,6 +1159,10 @@ class _Builder:
             any_vn=bool(np.asarray(hasvn).any()),
             any_uv=bool(np.asarray(hasuv).any()),
             edges=jnp.asarray(_edge_table(verts, faces)), **inst_kw)
+        # precompute the binned-tracer tables once (repacking per trace
+        # call re-gathered the triangle soup every bounce)
+        from ..accel.traverse import build_binned_cache
+        geom = build_binned_cache(geom)
 
         # SDF grid shapes (render/sdf.py)
         sdfs = []

@@ -83,6 +83,17 @@ class GeometryArrays:
     # (accel/build.treelet_tiles): (n_tiles + 1,) int32 into tri_order
     # space; None outside the tiled accel mode
     tile_starts: jnp.ndarray = None
+    # cached binned-tracer tables (ops/binned_trace.pack_binned),
+    # precomputed ONCE at scene build: re-deriving them per trace call
+    # re-gathered the full 1M-triangle soup EVERY bounce (closest +
+    # shadow), ~350 ms of a 1.1 s bigscene frame (round-5 device
+    # profile).  Refreshed by ad.update_scene on vertex updates.
+    bt_soa: jnp.ndarray = None       # (n_tiles_p, 16, TILE)
+    bt_sup: jnp.ndarray = None       # (NSP, 8) supertile AABBs
+    bt_tilec: jnp.ndarray = None     # (192, NSP) tile AABB components
+    bt_pmap: jnp.ndarray = None      # (n_tiles_p*TILE,) ordered prim ids
+    bt_ns: int = struct.field(pytree_node=False, default=0)
+    bt_nt: int = struct.field(pytree_node=False, default=0)
     # TRUE instancing (src/shapes/instance.cpp): mesh shape-group
     # templates stored once in group-local space + per-instance
     # transforms.  Instanced prim ids start at
