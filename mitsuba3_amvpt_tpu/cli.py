@@ -45,6 +45,8 @@ def main(argv=None):
         description="TPU-native differentiable path tracer "
                     "(Mitsuba 3 + AMVPT capability set)")
     ap.add_argument("scene", nargs="?", help=".xml scene file")
+    ap.add_argument("extra_files", nargs="*", metavar="FILE",
+                    help="additional input images for --tonemap")
     ap.add_argument("-o", "--output", default="output.exr",
                     help="output image path (.exr/.png/.pfm)")
     ap.add_argument("-s", "--spp", type=int, default=None,
@@ -87,7 +89,14 @@ def main(argv=None):
                          "polarizer sweep frame")
     ap.add_argument("--overlay", choices=["direct", "luminance"],
                     help="polvis overlay mode")
-    args, extra_files = ap.parse_known_args(argv)
+    # a real positional list instead of parse_known_args: a misspelled
+    # option now errors instead of being swallowed as an input image
+    # (ADVICE r4 #3)
+    args = ap.parse_args(argv)
+    extra_files = args.extra_files
+
+    if extra_files and not args.tonemap:
+        ap.error(f"unrecognized arguments: {extra_files}")
 
     if args.tonemap:
         from .utils.polvis import tonemap_file
@@ -121,9 +130,6 @@ def main(argv=None):
             write_image(out, np.clip(img, 0.0, 1.0))
             print(f'wrote "{out}"')
         return 0
-
-    if extra_files:
-        ap.error(f"unrecognized arguments: {extra_files}")
 
     if args.quilt_gif:
         return _quilt_gif(args)

@@ -42,12 +42,21 @@ def pytest_runtest_protocol(item, nextitem):
     if item.get_closest_marker("flaky_stat") is None:
         return None
     from _pytest.runner import runtestprotocol
-    for attempt in range(3):
-        reports = runtestprotocol(item, nextitem=nextitem, log=False)
-        if not any(r.failed for r in reports) or attempt == 2:
-            for r in reports:
-                item.ihook.pytest_runtest_logreport(report=r)
-            return True
-        import warnings
-        warnings.warn(f"flaky_stat rerun {attempt + 1} of {item.nodeid}")
-    return True
+
+    # mirror _pytest.main's caller: reporters and xdist accounting
+    # expect logstart/logfinish around each reported run (ADVICE r4 #4)
+    item.ihook.pytest_runtest_logstart(nodeid=item.nodeid,
+                                       location=item.location)
+    try:
+        for attempt in range(3):
+            reports = runtestprotocol(item, nextitem=nextitem, log=False)
+            if not any(r.failed for r in reports) or attempt == 2:
+                for r in reports:
+                    item.ihook.pytest_runtest_logreport(report=r)
+                return True
+            import warnings
+            warnings.warn(f"flaky_stat rerun {attempt + 1} of {item.nodeid}")
+        return True
+    finally:
+        item.ihook.pytest_runtest_logfinish(nodeid=item.nodeid,
+                                            location=item.location)

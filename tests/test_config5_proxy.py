@@ -48,7 +48,13 @@ def test_spectral_binned_multiview():
         assert tile.mean() > 1e-5, v
 
     # parity: the same scene through the default (tiled) tracer must
-    # produce the same spectral image — the tracer is an accel detail
+    # produce the same spectral image — the tracer is an accel detail.
+    # clear_caches is load-bearing: MT_FORCE_BINNED is consulted at
+    # trace time inside jitted code, so without it the second render
+    # hits the jit cache compiled during the binned render and the
+    # assertion compares the binned image to itself (ADVICE r4 #1)
+    import jax
+    jax.clear_caches()
     scene2 = mt.load_dict(_scene_dict())
     img2 = np.asarray(render_spectral(scene2, spp=2, max_depth=2,
                                       seed=0))
