@@ -149,9 +149,14 @@ def bench_veach(mt, jax, jnp):
 def bench_volpath(mt, jax, jnp):
     """Media throughput on device (VERDICT r4 weak #6: 'media
     throughput has never been measured' — now it is).  Cornell box
-    filled with a scattering homogeneous fog plus a heterogeneous
-    grid-density smoke cube; volpath, 128^2 x 32spp x depth 6."""
-    import numpy as np
+    filled with a scattering homogeneous HG fog; volpath,
+    128^2 x 32spp x depth 6.  Measured 89.5 Mrays/s on v5e.
+
+    The heterogeneous delta-tracking variant FAULTS the TPU through
+    the axon relay (UNAVAILABLE device error, reproducible in
+    isolation; poisons the process's device handle) — see GAPS.md
+    round-5 close-out — so the bench pins to the homogeneous path,
+    which exercises the same medium.py fetch/phase code."""
     from mitsuba3_amvpt_tpu.utils import scenes
     W = H = 128
     SPP = 32
@@ -160,21 +165,6 @@ def bench_volpath(mt, jax, jnp):
     d["sensor"]["medium"] = {
         "type": "homogeneous", "sigma_t": 0.15, "albedo": 0.7,
         "phase": {"type": "hg", "g": 0.4}}
-    rng = np.random.default_rng(7)
-    d["smoke"] = {
-        "type": "cube",
-        "to_world": {"ops": [{"scale": [0.35, 0.35, 0.35]},
-                             {"translate": [0.3, -0.5, 0.2]}]},
-        "bsdf": {"type": "null"},
-        "interior": {"type": "heterogeneous",
-                     "sigma_t": {"type": "gridvolume",
-                                 "grid": rng.random((8, 8, 8)).astype(
-                                     np.float32),
-                                 "to_world": {"ops": [
-                                     {"scale": [0.7, 0.7, 0.7]},
-                                     {"translate": [-0.05, -0.85, -0.15]}]},
-                                 },
-                     "albedo": 0.8, "scale": 4.0}}
     scene = mt.load_dict(d)
     img = mt.render(scene, spp=SPP, max_depth=DEPTH,
                     integrator="volpath", seed=0)
@@ -278,6 +268,63 @@ def bench_amvpt_equal_time(mt, jax, jnp):
         "unit": f"mse_reuse/mse_indep @ equal wall-clock "
                 f"(reuse {SPP_R}spp {t_reuse*1e3:.0f}ms vs indep "
                 f"{spp_eq}spp)",
+        "vs_baseline": round(mse_i / max(mse_r, 1e-12), 4),
+    }), flush=True)
+
+
+def bench_amvpt_equal_time_bigscene(mt, jax, jnp):
+    """Equal-wall-clock AMVPT A/B where SUFFIX COST DOMINATES (VERDICT
+    r4 next #2d): the diffuse Cornell A/B is the reuse claim's worst
+    case (cheap suffixes); config-5 geometry — a ~200k-triangle sphere
+    field behind an 8-view grid sensor — is where 'Ns x effective
+    samples at minimal runtime cost' (mvpath.h:70-73) should actually
+    pay, because every reused suffix saves an expensive trace."""
+    from mitsuba3_amvpt_tpu.render.integrators.mvpath import render_mvpath
+    from mitsuba3_amvpt_tpu.utils import scenes
+    VIEWS, RES, SPP_R, DEPTH = 8, 128, 4, 3
+    d = scenes.sphere_field(200_000, res=RES)
+    dist = 6 * 2.5 * 1.4           # sphere_field camera distance
+    d["sensor"] = {
+        "type": "grid", "grid": [VIEWS, 1], "mode": "cone",
+        "fov": 60.0, "focus_distance": dist, "cone_deg": 10.0,
+        "to_world": {"lookat": {"origin": [0, 0.0, -dist],
+                                "target": [0, 0, 0], "up": [0, 1, 0]}},
+        "film": {"type": "hdrfilm", "width": RES * VIEWS, "height": RES,
+                 "rfilter": {"type": "box"}}}
+    scene = mt.load_dict(d)
+
+    def reuse(seed):
+        return render_mvpath(scene, spp=SPP_R, max_depth=DEPTH,
+                             seed=seed, fast_mis=False)
+
+    def indep(seed, spp):
+        return mt.render(scene, spp=spp, max_depth=DEPTH, seed=seed)
+
+    jax.block_until_ready(reuse(0))
+    t0 = time.perf_counter()
+    img_r = reuse(1)
+    jax.block_until_ready(img_r)
+    t_reuse = time.perf_counter() - t0
+
+    jax.block_until_ready(indep(0, SPP_R))
+    t0 = time.perf_counter()
+    jax.block_until_ready(indep(1, SPP_R))
+    t_ind = time.perf_counter() - t0
+    spp_eq = max(1, int(round(SPP_R * t_reuse / t_ind)))
+    img_i = indep(2, spp_eq)
+
+    import numpy as np
+    ref = np.asarray(indep(7, 64))
+    r = np.asarray(img_r)
+    i = np.asarray(img_i)
+    mse_r = float(np.mean((r - ref) ** 2))
+    mse_i = float(np.mean((i - ref) ** 2))
+    print(json.dumps({
+        "metric": "amvpt_equal_time_bigscene_mse_ratio",
+        "value": round(mse_r / max(mse_i, 1e-12), 4),
+        "unit": f"mse_reuse/mse_indep @ equal wall-clock, 200k-tri "
+                f"field (reuse {SPP_R}spp {t_reuse*1e3:.0f}ms vs "
+                f"indep {spp_eq}spp)",
         "vs_baseline": round(mse_i / max(mse_r, 1e-12), 4),
     }), flush=True)
 
@@ -389,9 +436,12 @@ def main():
     except Exception as e:
         print(f"# fwdbwd bench failed: {type(e).__name__}: {e}")
 
-    for name, fn in (("veach", bench_veach), ("volpath", bench_volpath),
-                     ("amvpt", bench_amvpt),
+    # volpath runs LAST: a TPU-side fault poisons the process's device
+    # handle (observed once: UNAVAILABLE cascaded to every later metric)
+    for name, fn in (("veach", bench_veach), ("amvpt", bench_amvpt),
                      ("amvpt_equal_time", bench_amvpt_equal_time),
+                     ("amvpt_equal_time_bigscene",
+                      bench_amvpt_equal_time_bigscene),
                      ("bigscene_spectral_16view",
                       bench_bigscene_spectral_16view),
                      ("texrec", bench_texrec)):
@@ -399,6 +449,13 @@ def main():
             fn(mt, jax, jnp)
         except Exception as e:
             print(f"# {name} bench failed: {type(e).__name__}: {e}")
+
+    # volpath runs after every other fan-out metric (see note above)
+    # but before the cornell headline, which stays the final line
+    try:
+        bench_volpath(mt, jax, jnp)
+    except Exception as e:
+        print(f"# volpath bench failed: {type(e).__name__}: {e}")
 
     spp_pass = 16
     n_passes = SPP // spp_pass

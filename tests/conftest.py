@@ -33,6 +33,51 @@ def rng():
 
 
 def pytest_runtest_protocol(item, nextitem):
+    """``isolated``-marked tests run in a FRESH SUBPROCESS; tests
+    marked ``flaky_stat`` rerun up to 2 extra times.
+
+    Isolation (VERDICT r4 #9): a known XLA:CPU compiler segfault
+    triggers at high per-process compile counts; the handful of
+    highest-compile tests run in their own interpreter so a plain
+    ``pytest tests -n 2`` comes back green without the run_tests.sh
+    rerun wrapper."""
+    if item.get_closest_marker("isolated") is not None \
+            and not os.environ.get("MT_IN_ISOLATED"):
+        return _run_isolated(item)
+    return _flaky_stat_protocol(item, nextitem)
+
+
+def _run_isolated(item):
+    import subprocess
+    import sys
+    import time as _time
+
+    from _pytest.reports import TestReport
+
+    item.ihook.pytest_runtest_logstart(nodeid=item.nodeid,
+                                       location=item.location)
+    env = dict(os.environ)
+    env["MT_IN_ISOLATED"] = "1"
+    t0 = _time.time()
+    r = subprocess.run(
+        [sys.executable, "-m", "pytest", item.nodeid, "-q",
+         "-p", "no:cacheprovider"],
+        capture_output=True, text=True, timeout=3600, env=env,
+        cwd=str(item.config.rootpath))
+    rep = TestReport(
+        nodeid=item.nodeid, location=item.location, keywords={},
+        outcome="passed" if r.returncode == 0 else "failed",
+        longrepr=None if r.returncode == 0
+        else f"isolated subprocess rc={r.returncode}\n"
+             f"{r.stdout[-4000:]}\n{r.stderr[-4000:]}",
+        when="call", duration=_time.time() - t0)
+    item.ihook.pytest_runtest_logreport(report=rep)
+    item.ihook.pytest_runtest_logfinish(nodeid=item.nodeid,
+                                        location=item.location)
+    return True
+
+
+def _flaky_stat_protocol(item, nextitem):
     """Rerun tests marked ``flaky_stat`` up to 2 extra times.
 
     Statistical A/B tests (fixed seeds, tight variance margins) can be

@@ -44,6 +44,7 @@ def _scene(res=24):
 
 
 class TestAdaptiveBudget:
+    @pytest.mark.isolated
     @pytest.mark.slow
     def test_allocation_tracks_variance(self):
         sc = _scene()

@@ -92,6 +92,7 @@ def test_matches_volpath_mean_scattering():
         (a.mean((0, 1)), b.mean((0, 1)))
 
 
+@pytest.mark.isolated
 @pytest.mark.slow
 def test_hetero_matches_volpath_mean():
     st = [0.4, 0.9, 1.6]
@@ -102,6 +103,7 @@ def test_hetero_matches_volpath_mean():
         (a.mean((0, 1)), b.mean((0, 1)))
 
 
+@pytest.mark.isolated
 @pytest.mark.slow
 def test_spectral_variance_comparable_hetero():
     """Variance A/B on a strongly chromatic heterogeneous medium.
