@@ -214,18 +214,43 @@ def _boundary_loss(scene, grad_img, seed, n_samples: int, max_depth: int,
         return 0.0 * jnp.sum(g.verts)
     sg = jax.lax.stop_gradient
 
-    if guiding == "grid":
+    if guiding in ("grid", "octree"):
         from .guiding import GridDistr2D
         n_pilot = max(int(n_samples * pilot_frac), 1)
         n_main = max(n_samples - n_pilot, 1)
-        smp_p = Sampler.seed(
-            jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x5D1F),
-            n_pilot)
-        up, smp_p = smp_p.next_2d()
-        coef_p, dir_p = _boundary_terms(sg(scene), sg(grad_img), up,
-                                        smp_p, max_depth, eps_px)
-        grid = GridDistr2D.build(up, sg(jnp.abs(coef_p * dir_p)),
-                                 res_x=4 * guide_res, res_y=2)
+        if guiding == "octree":
+            # two-stage adaptive refinement (OcSpaceDistr analog; see
+            # _boundary_loss_indirect)
+            n_p1 = max(n_pilot // 2, 1)
+            n_p2 = max(n_pilot - n_p1, 1)
+            smp_1 = Sampler.seed(
+                jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x5D1F), n_p1)
+            u1, smp_1 = smp_1.next_2d()
+            c1, d1 = _boundary_terms(sg(scene), sg(grad_img), u1,
+                                     smp_1, max_depth, eps_px)
+            coarse = GridDistr2D.build(u1, sg(jnp.abs(c1 * d1)),
+                                       res_x=guide_res, res_y=2)
+            smp_2 = Sampler.seed(
+                jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x51E2), n_p2)
+            u2r, smp_2 = smp_2.next_2d()
+            u2, pdf2 = coarse.sample(u2r)
+            c2, d2 = _boundary_terms(sg(scene), sg(grad_img), sg(u2),
+                                     smp_2, max_depth, eps_px)
+            up = jnp.concatenate([u1, sg(u2)], 0)
+            w_p = jnp.concatenate(
+                [sg(jnp.abs(c1 * d1)),
+                 sg(jnp.abs(c2 * d2)) / jnp.maximum(sg(pdf2), 1e-20)], 0)
+            grid = GridDistr2D.build(up, w_p, res_x=4 * guide_res,
+                                     res_y=2)
+        else:
+            smp_p = Sampler.seed(
+                jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x5D1F),
+                n_pilot)
+            up, smp_p = smp_p.next_2d()
+            coef_p, dir_p = _boundary_terms(sg(scene), sg(grad_img), up,
+                                            smp_p, max_depth, eps_px)
+            grid = GridDistr2D.build(up, sg(jnp.abs(coef_p * dir_p)),
+                                     res_x=4 * guide_res, res_y=2)
         smp = Sampler.seed(
             jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x9E3779B9),
             n_main)
@@ -259,21 +284,42 @@ def _boundary_loss_indirect(scene, grad_img, seed, n_lanes: int,
     walk (reference ad/guiding.py GridDistr consumed by
     prb_projective.py:48,109 — ALL boundary samples are guided there;
     round 3 only guided the primary term, VERDICT r3 #7)."""
-    if guiding == "grid":
+    if guiding in ("grid", "octree"):
         from .guiding import GridDistr2D
         sg_ = jax.lax.stop_gradient
         n_pilot = max(int(n_lanes * pilot_frac), 1)
         n_main = max(n_lanes - n_pilot, 1)
-        _, u_p, w_p = _indirect_walk(
-            sg_(scene), sg_(grad_img),
-            jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x2C5F),
-            n_pilot, max_depth, eps_ang, grid=None)
+        if guiding == "octree":
+            # OcSpaceDistr analog (reference ad/guiding.py:141):
+            # adaptive refinement expressed statically — a coarse grid
+            # from half the pilot budget, then a SECOND pilot batch
+            # importance-drawn from it whose uniform-measure deposits
+            # (w/pdf) concentrate the fine grid's resolution exactly
+            # where pilot mass concentrates
+            n_p1 = max(n_pilot // 2, 1)
+            n_p2 = max(n_pilot - n_p1, 1)
+            _, u1, w1, _ = _indirect_walk(
+                sg_(scene), sg_(grad_img),
+                jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x2C5F),
+                n_p1, max_depth, eps_ang, grid=None)
+            coarse = GridDistr2D.build(u1, w1, res_x=guide_res, res_y=2)
+            _, u2, w2, pdf2 = _indirect_walk(
+                sg_(scene), sg_(grad_img),
+                jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x51E2),
+                n_p2, max_depth, eps_ang, grid=coarse)
+            u_p = jnp.concatenate([u1, u2], 0)
+            w_p = jnp.concatenate([w1, w2 / jnp.maximum(pdf2, 1e-20)], 0)
+        else:
+            _, u_p, w_p, _ = _indirect_walk(
+                sg_(scene), sg_(grad_img),
+                jnp.asarray(seed, jnp.uint32) ^ jnp.uint32(0x2C5F),
+                n_pilot, max_depth, eps_ang, grid=None)
         grid = GridDistr2D.build(u_p, w_p, res_x=4 * guide_res, res_y=2)
-        loss, _, _ = _indirect_walk(scene, grad_img, seed, n_main,
-                                    max_depth, eps_ang, grid=grid)
+        loss, _, _, _ = _indirect_walk(scene, grad_img, seed, n_main,
+                                       max_depth, eps_ang, grid=grid)
         return loss
-    loss, _, _ = _indirect_walk(scene, grad_img, seed, n_lanes,
-                                max_depth, eps_ang, grid=None)
+    loss, _, _, _ = _indirect_walk(scene, grad_img, seed, n_lanes,
+                                   max_depth, eps_ang, grid=None)
     return loss
 
 
@@ -323,7 +369,7 @@ def _indirect_walk(scene, grad_img, seed, n_lanes: int, max_depth: int,
         c = g.verts[g.faces[fi, 2]]
         return m.normalize(jnp.cross(b - a, c - a))
 
-    u_all, dep_all = [], []
+    u_all, dep_all, pdf_all = [], [], []
     for dep in range(max_depth - 1):
         si = scene_d.ray_intersect(Ray.make(o, d))
         hit = active & si.is_valid
@@ -391,8 +437,10 @@ def _indirect_walk(scene, grad_img, seed, n_lanes: int, max_depth: int,
         loss = loss + jnp.sum(contrib)
         u_all.append(jnp.stack([u_e, u_s], -1))
         # deposit in UNIFORM measure (undo 1/pdf_g) so pilot grids see
-        # the raw integrand magnitude
+        # the raw integrand magnitude; pdf_all lets refinement stages
+        # re-weight guided pilots back to uniform measure
         dep_all.append(sg(jnp.abs(contrib)) * pdf_g)
+        pdf_all.append(pdf_g)
 
         # ---- detached continuation
         u1, smp = smp.next_1d()
@@ -404,7 +452,8 @@ def _indirect_walk(scene, grad_img, seed, n_lanes: int, max_depth: int,
         T = T * sg(bs.weight)
         active = hit & (bs.pdf > 0.0) \
             & (jnp.max(jnp.abs(T), -1) > 1e-6)
-    return loss, jnp.concatenate(u_all, 0), jnp.concatenate(dep_all, 0)
+    return (loss, jnp.concatenate(u_all, 0),
+            jnp.concatenate(dep_all, 0), jnp.concatenate(pdf_all, 0))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))

@@ -85,6 +85,7 @@ def test_scene_is_indirect_only():
 
 
 @pytest.mark.slow
+@pytest.mark.isolated
 def test_indirect_boundary_matches_fd():
     """FD vs AD at occluder offset +0.3 (a clean monotonic point of the
     penumbra sweep: FD = 0.0202 +- 0.001 over 6 matched-seed pairs).
@@ -175,3 +176,99 @@ def test_indirect_guiding_cuts_variance():
     # lenient bound and leave the 2.7x headline to the recorded run)
     assert g_grid.std() < 1.5 * g_none.std() + 1e-6, \
         (g_grid.std(), g_none.std())
+
+
+@pytest.mark.slow
+@pytest.mark.isolated
+def test_indirect_boundary_matches_fd_guided():
+    """FD parity of the GRID-GUIDED sppi walk, asserted directly
+    (VERDICT r4 #5: the guided path's correctness previously rested
+    only on the variance A/B because the pilot+main walks double the
+    per-process compile count and trip the XLA:CPU segfault).  The
+    guided gradient is computed in a FRESH SUBPROCESS (the
+    run_tests.sh isolation pattern, per-test); FD truth is measured
+    in-process with the plain renderer (which this process compiles
+    anyway)."""
+    import os
+    import subprocess
+    import sys
+
+    h, BASE = 0.05, 0.3
+    fd_runs = []
+    for s in range(4):
+        lp = np.asarray(mt.render(mt.load_dict(scene_dict(BASE + h)),
+                                  spp=128, max_depth=DEPTH,
+                                  seed=s)).mean()
+        lm = np.asarray(mt.render(mt.load_dict(scene_dict(BASE - h)),
+                                  spp=128, max_depth=DEPTH,
+                                  seed=s)).mean()
+        fd_runs.append((lp - lm) / (2 * h))
+    fd = float(np.mean(fd_runs))
+    assert abs(fd) > 5e-3, f"FD signal too weak: {fd}"
+
+    code = f"""
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.abspath(__file__)))})
+import conftest  # noqa: F401  (forces the CPU backend + 8-dev mesh)
+import numpy as np
+import jax
+import jax.numpy as jnp
+import test_projective_indirect as t
+import mitsuba3_amvpt_tpu as mt
+from mitsuba3_amvpt_tpu.ad.projective import render_ad_projective
+
+scene = mt.load_dict(t.scene_dict(0.0))
+mask_j = jnp.asarray(t.occluder_vert_mask(scene))
+
+def loss(dx, seed):
+    verts = scene.geom.verts + mask_j[:, None] \\
+        * jnp.array([1.0, 0.0, 0.0]) * dx
+    sc = scene.replace(geom=scene.geom.replace(verts=verts))
+    img = render_ad_projective(sc, spp=32, seed=seed,
+                               max_depth=t.DEPTH, sppi=24,
+                               guiding="grid")
+    return jnp.mean(img)
+
+gi = float(np.mean([jax.grad(loss)({BASE}, s) for s in range(8)]))
+print("GI", gi)
+"""
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=1500, env=env)
+    assert r.returncode == 0, f"guided subprocess failed:\n{r.stdout}\n{r.stderr}"
+    gi = float([ln for ln in r.stdout.splitlines()
+                if ln.startswith("GI ")][-1].split()[1])
+    # same acceptance band as the uniform FD test: right sign, within
+    # 70% of FD (per-seed scatter is the estimator's documented nature;
+    # guiding tightens it, it does not change the mean)
+    assert np.sign(gi) == np.sign(fd), (gi, fd)
+    assert abs(gi - fd) < 0.7 * abs(fd), (gi, fd)
+
+
+@pytest.mark.slow
+@pytest.mark.isolated
+@pytest.mark.flaky_stat
+def test_indirect_octree_guiding_unbiased():
+    """Two-stage refined ('octree', OcSpaceDistr analog — coarse pilot
+    grid, importance-drawn second pilot, fine grid) must estimate the
+    same boundary gradient as uniform sampling (mean parity), i.e. the
+    refinement stays unbiased."""
+    scene = mt.load_dict(scene_dict(0.0))
+    mask_j = jnp.asarray(occluder_vert_mask(scene))
+    W = H = 24
+
+    def gloss(dx, seed, guiding):
+        verts = scene.geom.verts + mask_j[:, None] \
+            * jnp.array([1.0, 0.0, 0.0]) * dx
+        sc = scene.replace(geom=scene.geom.replace(verts=verts))
+        img = boundary_image_indirect(sc, seed, 8 * W * H, DEPTH, guiding)
+        return jnp.mean(img)
+
+    gfn = jax.jit(jax.grad(gloss), static_argnums=(1, 2))
+    g_none = np.array([float(gfn(0.3, s, "none")) for s in range(5)])
+    g_oct = np.array([float(gfn(0.3, s, "octree")) for s in range(5)])
+    assert abs(g_oct.mean() - g_none.mean()) \
+        < 3.0 * (g_none.std() + g_oct.std()) / np.sqrt(5) + 1e-4
+    assert g_oct.std() < 1.5 * g_none.std() + 1e-6, \
+        (g_oct.std(), g_none.std())
